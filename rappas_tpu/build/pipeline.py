@@ -1,0 +1,265 @@
+"""DB-build pipeline: from (reference alignment, reference tree) to a
+:class:`rappas_tpu.db.PhyloKmerDB`.
+
+Orchestration mirrors ``/root/reference/src/main_v2/Main_DBBUILD_3.java``
+(call stack in SURVEY.md section 3.1):
+
+1. load + optionally gap-reduce the alignment (``:210-236``);
+2. decide gap-jump activation from the gap ratio (``:240-261``);
+3. parse the original tree, root it if requested, cross-check labels,
+   assign jplace edge ids (``:263-309``);
+4. inject ghost nodes, extend the alignment with gap-only rows, write the
+   ``extended_trees/`` artifacts (``:325-383``);
+5. run (or reuse via ``ar_dir``) the external AR program (``:412-447``);
+6. parse AR outputs (``:460-483``);
+7. enumerate phylo-kmers per ghost node and max-merge into the DB
+   (``:596-755``).
+
+The k-mer generation is the vectorised frontier explorer batched over
+ghost nodes; the faithful sequential explorer takes over when gap jumps
+are active (see ``rappas_tpu.build.explorer``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+from rappas_tpu.alignment import Alignment
+from rappas_tpu.alphabet import get_alphabet
+from rappas_tpu.ar.launcher import ARLauncher
+from rappas_tpu.ar.results import ARResults, parse_ar_outputs
+from rappas_tpu.build.explorer import (explore_node, explore_node_exact,
+                                       sort_probas_desc)
+from rappas_tpu.db import PhyloKmerDB, build_csr
+from rappas_tpu.extend import extend_tree
+from rappas_tpu.models import EvolModel
+from rappas_tpu.seqio import read_fasta
+from rappas_tpu.tree import Tree, parse_newick, write_newick
+from rappas_tpu.utils import log
+
+
+@dataclasses.dataclass
+class BuildConfig:
+    k: int = 8
+    omega: float = 1.5
+    states: str = "nucl"
+    #: ghost nodes injected per branch (``ArgumentsParser_v2.java:53``)
+    ghosts: int = 1
+    reduction: bool = True
+    reduction_ratio: float = 0.99
+    #: write the reduced alignment copy to this path (default
+    #: ``workdir/align.reduced``)
+    reduced_align_file: str | None = None
+    model: EvolModel | None = None
+    ar_binary: str | None = None
+    ar_dir: str | None = None          # reuse existing AR outputs
+    ar_parameters: str | None = None
+    threads: int = 1
+    force_rooting: bool = False        # --force-root
+    use_unrooted: bool = False
+    only_fake_nodes: bool = True
+    only_x1_nodes: bool = False
+    do_gap_jumps: bool = False         # --force-gap-jump / --do-n-jumps
+    limit_to_1_jump: bool = True
+    gap_jump_threshold: float = 0.3
+    #: stop-early debug modes (``--aronly`` / ``--arinputonly``)
+    only_ar: bool = False
+    only_ar_input: bool = False
+    #: force the exact sequential explorer even without gap jumps
+    exact_explorer: bool = False
+    db_filename: str | None = None
+
+
+def build_database(ref_align_path, ref_tree_path, workdir,
+                   config: BuildConfig) -> PhyloKmerDB | None:
+    t0 = time.time()
+    workdir = Path(workdir)
+    ext_dir = workdir / "extended_trees"
+    ar_path = Path(config.ar_dir) if config.ar_dir else workdir / "AR"
+    logs_dir = workdir / "logs"
+    for d in (workdir, ext_dir, logs_dir):
+        d.mkdir(parents=True, exist_ok=True)
+
+    alphabet = get_alphabet(config.states)
+    model = config.model or EvolModel.default(alphabet.name)
+
+    # ---------------------------------------------------------------- #
+    # 1. alignment
+    align = Alignment.from_records(alphabet,
+                                   list(read_fasta(ref_align_path)))
+    log(f"alignment: {align.n_rows} rows x {align.length} cols")
+    if config.reduction:
+        before = align.length
+        align = align.reduce(config.reduction_ratio)
+        log(f"gap-column reduction @{config.reduction_ratio}: "
+            f"{before} -> {align.length} cols")
+        reduced_path = Path(config.reduced_align_file) if \
+            config.reduced_align_file else workdir / "align.reduced"
+        align.write_fasta(reduced_path)
+
+    # 2. gap jumps (Main_DBBUILD_3.java:240-261)
+    gap_jumps = config.do_gap_jumps
+    if not gap_jumps:
+        ratio = align.gap_ratio()
+        gap_jumps = ratio >= config.gap_jump_threshold
+        log(f"gap ratio {ratio:.4f} -> gap jumps "
+            f"{'activated' if gap_jumps else 'off'}")
+
+    # ---------------------------------------------------------------- #
+    # 3. original tree
+    tree_text = Path(ref_tree_path).read_text()
+    tree_line = [ln for ln in tree_text.splitlines() if ln.strip()][-1]
+    original = parse_newick(tree_line, force_rooting=config.force_rooting)
+    if not original.rooted and not config.use_unrooted:
+        raise SystemExit(
+            "This reference tree is unrooted. The newick trifurcation can "
+            "be used as root; confirm with --use_unrooted (placement "
+            "accuracy may be affected).")
+    # label cross-check (Main_DBBUILD_3.java:288-300)
+    tree_labels = {n.label for n in original.nodes}
+    missing = [lb for lb in align.labels if lb not in tree_labels]
+    if missing:
+        raise SystemExit(
+            f"Alignment/tree labels do not match (first missing: "
+            f"{missing[0]!r})")
+    original.reset_jplace_edge_ids()
+
+    # ---------------------------------------------------------------- #
+    # 4. ghost injection + extended artifacts
+    log("injecting ghost nodes...")
+    extended = extend_tree(original, n_ghosts=config.ghosts)
+    fake_labels = [n.label for n in extended.fake_leaves]
+    ext_align = align.add_gap_rows(fake_labels)
+    f_fasta = ext_dir / "extended_align.fasta"
+    f_phylip = ext_dir / "extended_align.phylip"
+    f_tree = ext_dir / "extended_tree_withBL.tree"
+    f_tree_nolabel = ext_dir / "extended_tree_withBL_withoutInterLabels.tree"
+    ext_align.write_fasta(f_fasta)
+    ext_align.write_phylip(f_phylip)
+    f_tree.write_text(write_newick(extended, True, True, False, False))
+    f_tree_nolabel.write_text(write_newick(extended, True, False, False,
+                                           False))
+    with open(ext_dir / "extended_tree_node_mapping.tsv", "w") as f:
+        f.write("original_id\toriginal_name\textended_id\textended_name")
+        for ext_id, orig_id in extended.fake_to_original.items():
+            f.write(f"\n{orig_id}\t{original.by_id(orig_id).label}\t"
+                    f"{ext_id}\t{extended.by_id(ext_id).label}")
+
+    # ---------------------------------------------------------------- #
+    # 5. AR
+    if config.ar_binary is None and config.ar_dir is None:
+        raise SystemExit("need --arbinary (or --ardir with existing AR "
+                         "outputs)")
+    launcher = ARLauncher(config.ar_binary or "phyml", model,
+                          config.ar_parameters, config.threads)
+    if config.only_ar_input:
+        ar_path.mkdir(parents=True, exist_ok=True)
+        com = launcher.build_command(ar_path, f_phylip, f_tree_nolabel)
+        (ar_path / "ar_command.txt").write_text(" ".join(com) + "\n")
+        log("only AR inputs were requested, pipeline stopped")
+        return None
+    if config.ar_dir is None:
+        ar_path.mkdir(parents=True, exist_ok=True)
+        log(f"launching ancestral reconstruction ({launcher.program})...")
+        launcher.launch(ar_path, f_phylip, f_tree_nolabel)
+    else:
+        log(f"reusing AR outputs from {ar_path}")
+        launcher.check_outputs(ar_path, f_phylip)
+
+    # ---------------------------------------------------------------- #
+    # 6. parse AR outputs
+    log("parsing ancestral reconstruction results...")
+    ar = parse_ar_outputs(launcher, ar_path, f_phylip, extended,
+                          original.rooted, ext_align.length, alphabet)
+    with open(ar_path / "ARtree_id_mapping.tsv", "w") as f:
+        f.write("extended_id\textended_label\tARTree_id\tARtree_label")
+        for ar_id, ext_id in ar.ar_to_extended.items():
+            f.write(f"\n{ext_id}\t{extended.by_id(ext_id).label}\t"
+                    f"{ar_id}\t{ar.ar_tree.by_id(ar_id).label}")
+    if config.only_ar:
+        log("only AR was requested, pipeline stopped")
+        return None
+
+    # ---------------------------------------------------------------- #
+    # 7. k-mer enumeration
+    db = generate_kmers(ar, extended, ext_align, original, alphabet,
+                        config, gap_jumps)
+    db.meta.update({
+        "build_seconds": round(time.time() - t0, 3),
+        "gap_jumps": bool(gap_jumps),
+        "ghosts": config.ghosts,
+        "ar_program": launcher.program,
+        "model": model.name,
+        "reduction_ratio": config.reduction_ratio if config.reduction
+        else None,
+        "extended_tree_newick": write_newick(extended, True, True, False,
+                                             False),
+    })
+    name = config.db_filename or f"DB_k{config.k}_o{config.omega}.rptpu"
+    if not name.endswith(".rptpu"):
+        name += ".rptpu"
+    out = workdir / name
+    db.save(out)
+    log(f"DB saved: {out} ({db.n_kmers} kmers, {db.nnz} postings, "
+        f"{time.time() - t0:.1f}s total)")
+    return db
+
+
+def generate_kmers(ar: ARResults, extended, ext_align, original: Tree,
+                   alphabet, config: BuildConfig,
+                   gap_jumps: bool) -> PhyloKmerDB:
+    """Step 7: the node loop (``Main_DBBUILD_3.java:648-755``)."""
+    thr = PhyloKmerDB.threshold(config.k, config.omega, alphabet.n_states)
+    if config.only_fake_nodes:
+        nodes = ar.ghost_nodes(extended, only_x1=config.only_x1_nodes)
+    else:
+        nodes = [n.id for n in ar.ar_tree.nodes if not n.is_leaf]
+    log(f"{len(nodes)} nodes tested, threshold log10={float(thr):.6f}")
+
+    use_exact = gap_jumps or config.exact_explorer
+    gap_intervals = ext_align.gap_intervals() if use_exact else None
+
+    all_codes, all_edges, all_sums = [], [], []
+    t0 = time.time()
+    for count, node_id in enumerate(nodes):
+        ext_id = ar.ar_to_extended[node_id]
+        orig_id = extended.fake_to_original_id(ext_id)
+        P = ar.probas[node_id]
+        if use_exact:
+            states_sorted, pp_sorted = sort_probas_desc(P)
+            codes, sums = explore_node_exact(
+                states_sorted, pp_sorted, config.k, thr,
+                gap_intervals=gap_intervals, do_gap_jumps=gap_jumps,
+                limit_to_1_jump=config.limit_to_1_jump)
+        else:
+            codes, sums = explore_node(P, config.k, thr)
+        if codes.size:
+            all_codes.append(codes)
+            all_sums.append(sums)
+            all_edges.append(np.full(codes.shape[0], orig_id, np.int32))
+        if (count + 1) % max(1, len(nodes) // 10) == 0:
+            log(f"  node {count + 1}/{len(nodes)} "
+                f"({time.time() - t0:.1f}s)")
+
+    if all_codes:
+        codes = np.concatenate(all_codes)
+        edges = np.concatenate(all_edges)
+        sums = np.concatenate(all_sums)
+    else:
+        codes = np.zeros(0, np.int64)
+        edges = np.zeros(0, np.int32)
+        sums = np.zeros(0, np.float32)
+    if codes.size == 0:
+        raise SystemExit("Something went wrong... hash is empty!")
+    keys, offsets, e, deltas = build_csr(codes, edges, sums, thr)
+    log(f"postings: {codes.size} raw tuples -> {e.size} after max-merge, "
+        f"{keys.size} kmers")
+    return PhyloKmerDB(
+        k=config.k, omega=config.omega, alphabet=alphabet,
+        thr_log10=thr, tree=original, keys=keys, offsets=offsets,
+        edges=e, deltas=deltas, meta={})

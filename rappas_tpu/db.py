@@ -1,0 +1,215 @@
+"""The phylo-kmer database: flat tensors + JSON header.
+
+Replaces the reference's JVM-serialized session
+(``/root/reference/src/main_v2/SessionNext_v2.java:110-207``, a
+version-fragile Java object stream) with a language-neutral, versioned
+format: a ``.npz`` of numpy arrays plus an embedded JSON header.
+
+Logical content (mirrors the fields of ``SessionNext_v2.java:43-66``):
+
+* scoring parameters: k, omega, thresholds;
+* the original tree (newick with jplace ``{x}`` edge ids) + per-node-id
+  arrays (branch lengths, jplace edge ids) so placement needs no tree
+  traversal;
+* the phylo-kmer postings: for every k-mer present, the set of
+  (original-tree edge id, max log10 PP*) pairs
+  (``CustomHash_v4_FastUtil81.java:35-36,73-102``) stored as CSR over the
+  *sorted unique k-mer index* axis.
+
+The stored score is ``delta = score - log10_threshold`` clamped to a tiny
+positive minimum: delta is what placement accumulates
+(``S[e] = Q*thr + sum(delta)``, ``PlacementProcess.java:726-734``), and
+keeping it strictly positive lets the TPU engine detect "edge was matched"
+as ``accumulated > 0`` without a second counter tensor.  The raw score is
+recovered as ``delta + thr`` (the clamp is ~1e-38, far below f32 resolution
+of any real score).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import json
+import zlib
+from pathlib import Path
+
+import numpy as np
+
+from rappas_tpu.alphabet import Alphabet, get_alphabet
+from rappas_tpu.tree import ArrayTree, Tree, parse_newick, write_newick
+
+FORMAT_VERSION = 1
+
+#: strictly positive floor for stored deltas (see module docstring)
+DELTA_TINY = np.float32(1e-38)
+
+
+@dataclasses.dataclass
+class PhyloKmerDB:
+    k: int
+    omega: float
+    alphabet: Alphabet
+    #: float32 log10((omega/S)^k), the word threshold
+    #: (``Main_DBBUILD_3.java:165-166``)
+    thr_log10: np.float32
+    #: original tree, jplace edge ids assigned
+    tree: Tree
+    #: sorted unique k-mer indices present in the DB (int64[n_keys])
+    keys: np.ndarray
+    #: CSR offsets into postings (int64[n_keys+1])
+    offsets: np.ndarray
+    #: original-tree node id of the edge, per posting (int32[nnz])
+    edges: np.ndarray
+    #: delta = max log10 PP* - thr, clamped to >= DELTA_TINY (float32[nnz])
+    deltas: np.ndarray
+    #: extras persisted for resume / debugging (newick strings etc.)
+    meta: dict = dataclasses.field(default_factory=dict)
+
+    # -------------------------------------------------------------- #
+    @property
+    def n_kmers(self) -> int:
+        return int(self.keys.shape[0])
+
+    @property
+    def nnz(self) -> int:
+        return int(self.edges.shape[0])
+
+    @property
+    def thr_linear(self) -> np.float32:
+        """(omega/S)^k as float32, used by the ambiguity mean handler
+        (``PlacementProcess.java:1167``)."""
+        ratio = np.float32(self.omega) / np.float32(self.alphabet.n_states)
+        return np.float32(np.power(np.float64(ratio), self.k))
+
+    @property
+    def arrays(self) -> ArrayTree:
+        at = getattr(self, "_arrays", None)
+        if at is None:
+            at = self.tree.to_arrays()
+            self._arrays = at
+        return at
+
+    @property
+    def n_edge_slots(self) -> int:
+        """Width of per-edge score vectors == max original node id + 1."""
+        return self.arrays.n_ids
+
+    # -------------------------------------------------------------- #
+    @staticmethod
+    def threshold(k: int, omega: float, n_states: int) -> np.float32:
+        """log10((omega/S)^k) with the reference's exact float widening:
+        f32 division, f64 pow, cast f32, f64 log10, cast f32
+        (``Main_DBBUILD_3.java:165-166``)."""
+        ratio = np.float32(omega) / np.float32(n_states)
+        lin = np.float32(np.power(np.float64(ratio), k))
+        return np.float32(np.log10(np.float64(lin)))
+
+    # -------------------------------------------------------------- #
+    def lookup(self, kmer_index: int):
+        """(edges, scores) for one k-mer, or None -- host-side debugging
+        mirror of ``getPairsOfTopPosition2``
+        (``CustomHash_v4_FastUtil81.java:146-153``)."""
+        i = np.searchsorted(self.keys, kmer_index)
+        if i >= self.n_kmers or self.keys[i] != kmer_index:
+            return None
+        lo, hi = self.offsets[i], self.offsets[i + 1]
+        raw = np.where(self.deltas[lo:hi] <= DELTA_TINY,
+                       np.float32(0.0), self.deltas[lo:hi])
+        return self.edges[lo:hi], np.float32(raw + self.thr_log10)
+
+    # -------------------------------------------------------------- #
+    def save(self, path) -> None:
+        header = {
+            "format_version": FORMAT_VERSION,
+            "k": self.k,
+            "omega": self.omega,
+            "states": self.alphabet.name,
+            "thr_log10": float(self.thr_log10),
+            "tree_newick": write_newick(self.tree, True, True, True, False),
+            "n_kmers": self.n_kmers,
+            "nnz": self.nnz,
+            "meta": self.meta,
+        }
+        # write through a file object: np.savez would otherwise append
+        # ".npz" to the requested filename
+        with open(path, "wb") as f:
+            np.savez_compressed(
+                f,
+                header=np.frombuffer(
+                    json.dumps(header).encode("utf-8"), dtype=np.uint8),
+                keys=self.keys, offsets=self.offsets,
+                edges=self.edges, deltas=self.deltas)
+
+    @classmethod
+    def load(cls, path) -> "PhyloKmerDB":
+        with np.load(path) as z:
+            header = json.loads(bytes(z["header"]).decode("utf-8"))
+            if header["format_version"] > FORMAT_VERSION:
+                raise ValueError(
+                    f"DB format {header['format_version']} is newer than "
+                    f"this build supports ({FORMAT_VERSION})")
+            tree = parse_newick(header["tree_newick"],
+                                jplace_edge_ids=True)
+            # restore jplace ids onto nodes (parsed from {x} labels)
+            db = cls(
+                k=header["k"], omega=header["omega"],
+                alphabet=get_alphabet(header["states"]),
+                thr_log10=np.float32(header["thr_log10"]),
+                tree=tree,
+                keys=z["keys"], offsets=z["offsets"],
+                edges=z["edges"], deltas=z["deltas"],
+                meta=header.get("meta", {}))
+            return db
+
+    # -------------------------------------------------------------- #
+    def to_json_dump(self) -> dict:
+        """Readable dump equivalent to the reference's ``--jsondb``
+        (``SessionNext_v2.saveToJSON``, :214-270): kmer text ->
+        {edge id: score} with raw log10 PP* scores."""
+        out = {}
+        for i in range(self.n_kmers):
+            word = self.alphabet.kmer_to_string(int(self.keys[i]), self.k)
+            lo, hi = int(self.offsets[i]), int(self.offsets[i + 1])
+            raw = np.where(self.deltas[lo:hi] <= DELTA_TINY,
+                           np.float32(0.0), self.deltas[lo:hi])
+            out[word] = {int(e): float(np.float32(r + self.thr_log10))
+                         for e, r in zip(self.edges[lo:hi], raw)}
+        return out
+
+    # -------------------------------------------------------------- #
+    def dense_matrix(self, pad_rows: int = 1) -> np.ndarray:
+        """Dense delta matrix ``D[S^k + pad_rows, n_edge_slots]`` for the
+        TPU fast path (absent entries 0; final pad rows stay 0 and serve
+        as the padding target for invalid k-mers)."""
+        S = self.alphabet.n_states
+        n_rows = S ** self.k + pad_rows
+        D = np.zeros((n_rows, self.n_edge_slots), np.float32)
+        row = np.repeat(self.keys, np.diff(self.offsets))
+        D[row, self.edges] = self.deltas
+        return D
+
+
+def build_csr(codes: np.ndarray, edges: np.ndarray,
+              scores: np.ndarray, thr_log10: np.float32):
+    """Collapse raw (kmer, edge, score) tuples into the CSR postings,
+    keeping max score per (kmer, edge) (``CustomHash_v4_FastUtil81.java:
+    73-102`` keeps the max at insertion).
+
+    Returns (keys, offsets, edges, deltas).
+    """
+    if codes.size == 0:
+        return (np.zeros(0, np.int64), np.zeros(1, np.int64),
+                np.zeros(0, np.int32), np.zeros(0, np.float32))
+    order = np.lexsort((-scores, edges, codes))
+    c = codes[order]
+    e = edges[order]
+    s = scores[order]
+    first = np.ones(c.shape[0], bool)
+    first[1:] = (c[1:] != c[:-1]) | (e[1:] != e[:-1])
+    c, e, s = c[first], e[first], s[first]
+    keys, key_start = np.unique(c, return_index=True)
+    offsets = np.empty(keys.shape[0] + 1, np.int64)
+    offsets[:-1] = key_start
+    offsets[-1] = c.shape[0]
+    deltas = np.maximum(np.float32(s - thr_log10), DELTA_TINY)
+    return keys, offsets, e.astype(np.int32), deltas
