@@ -1,0 +1,179 @@
+"""Command-line interface, drop-in compatible with the reference RAPPAS
+flag surface (``/root/reference/src/main_v2/ArgumentsParser_v2.java``).
+
+Two phases:
+
+* ``-p b``: database build (alignment + tree + AR program -> ``.rptpu``)
+* ``-p p``: placement (``.rptpu`` + query fasta/fastq -> jplace)
+
+Defaults mirror ``ArgumentsParser_v2.java:39-95``: k=8, omega=1.5,
+ghosts=1, reduction on at ratio 0.99, keep-at-most 7, keep-factor 0.01,
+ambiguities treated with the mean mode.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+from rappas_tpu import __version__
+from rappas_tpu.utils import log, set_verbosity
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="rappas-tpu",
+        description="TPU-native alignment-free phylogenetic placement "
+                    "via phylo-kmers")
+    p.add_argument("--version", action="version", version=__version__)
+    p.add_argument("-p", "--phase", required=True, choices=["b", "p"],
+                   help="b=build DB, p=place queries")
+    p.add_argument("-s", "--states", default="nucl",
+                   choices=["nucl", "amino"])
+    p.add_argument("-b", "--arbinary", help="path to AR program binary "
+                   "(phyml / raxml-ng / baseml / codeml)")
+    p.add_argument("-w", "--workdir", default=".",
+                   help="working directory")
+    p.add_argument("-r", "--refalign", help="reference alignment (fasta)")
+    p.add_argument("-t", "--reftree", help="reference tree (newick)")
+    p.add_argument("-q", "--queries",
+                   help="query reads, comma-separated list of fasta/fastq")
+    p.add_argument("-d", "--database", help=".rptpu DB file (placement)")
+    p.add_argument("-v", "--verbosity", type=int, default=0)
+    # build parameters
+    p.add_argument("-k", type=int, default=8, help="k-mer size")
+    p.add_argument("--omega", type=float, default=1.5)
+    p.add_argument("-g", "--ghosts", type=int, default=1,
+                   help="ghost nodes injected per branch")
+    p.add_argument("-a", "--alpha", type=float, default=1.0,
+                   help="gamma shape parameter")
+    p.add_argument("-c", "--categories", type=int, default=4)
+    p.add_argument("-m", "--model", default=None,
+                   help="substitution model (default GTR / LG)")
+    p.add_argument("--arparameters", default=None,
+                   help="override AR command-line parameters")
+    p.add_argument("--dbfilename", default=None)
+    p.add_argument("--no-reduction", action="store_true")
+    p.add_argument("--ratio-reduction", type=float, default=0.99)
+    p.add_argument("--write-reduction", default=None,
+                   help="path for the reduced alignment copy")
+    p.add_argument("--ardir", default=None,
+                   help="reuse AR outputs from this directory")
+    p.add_argument("--aronly", action="store_true")
+    p.add_argument("--arinputonly", action="store_true")
+    p.add_argument("--force-root", action="store_true")
+    p.add_argument("--use_unrooted", action="store_true")
+    p.add_argument("--original-nodes", action="store_true",
+                   help="test all internal nodes, not just ghosts")
+    p.add_argument("--onlyX1", action="store_true",
+                   help="test only X1 ghost nodes")
+    p.add_argument("--force-gap-jump", action="store_true")
+    p.add_argument("--do-n-jumps", action="store_true",
+                   help="allow multiple gap jumps per word")
+    p.add_argument("--gap-jumps-thresh", type=float, default=0.3)
+    p.add_argument("--jsondb", action="store_true",
+                   help="also write a readable JSON DB dump")
+    p.add_argument("--threads", type=int, default=1,
+                   help="threads forwarded to RAxML-ng")
+    p.add_argument("--dbinram", action="store_true",
+                   help="build then place without persisting the DB")
+    p.add_argument("--convertUO", action="store_true")
+    # placement parameters
+    p.add_argument("--keep-at-most", type=int, default=7)
+    p.add_argument("--keep-factor", type=float, default=0.01)
+    p.add_argument("--nsbound", type=float, default=None)
+    p.add_argument("--guppy-compat", action="store_true")
+    p.add_argument("--noamb", action="store_true",
+                   help="ignore ambiguous k-mers instead of expanding")
+    p.add_argument("--ambwithmax", action="store_true",
+                   help="combine ambiguity alternatives with max, "
+                        "not mean")
+    p.add_argument("--batch-size", type=int, default=1024)
+    p.add_argument("--calibration", action="store_true",
+                   help="(accepted for compatibility; calibration is a "
+                        "no-op like the reference default)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    set_verbosity(args.verbosity)
+    call_string = " ".join(argv if argv is not None else sys.argv[1:])
+
+    if args.phase == "b":
+        return run_build(args, call_string)
+    return run_placement(args, call_string)
+
+
+def run_build(args, call_string: str) -> int:
+    from rappas_tpu.build.pipeline import BuildConfig, build_database
+    from rappas_tpu.models import EvolModel
+
+    if not args.refalign or not args.reftree:
+        print("DB build needs -r/--refalign and -t/--reftree",
+              file=sys.stderr)
+        return 2
+    model = (EvolModel.from_string(args.model, args.alpha, args.categories)
+             if args.model else None)
+    cfg = BuildConfig(
+        k=args.k, omega=args.omega, states=args.states,
+        ghosts=args.ghosts,
+        reduction=not args.no_reduction,
+        reduction_ratio=args.ratio_reduction,
+        reduced_align_file=args.write_reduction,
+        model=model, ar_binary=args.arbinary, ar_dir=args.ardir,
+        ar_parameters=args.arparameters, threads=args.threads,
+        force_rooting=args.force_root, use_unrooted=args.use_unrooted,
+        only_fake_nodes=not args.original_nodes,
+        only_x1_nodes=args.onlyX1,
+        do_gap_jumps=args.force_gap_jump or args.do_n_jumps,
+        limit_to_1_jump=not args.do_n_jumps,
+        gap_jump_threshold=args.gap_jumps_thresh,
+        only_ar=args.aronly, only_ar_input=args.arinputonly,
+        db_filename=args.dbfilename)
+    db = build_database(args.refalign, args.reftree, args.workdir, cfg)
+    if db is None:
+        return 0
+    if args.jsondb:
+        import json
+        dump = Path(args.workdir) / "DB.json"
+        with open(dump, "w") as f:
+            json.dump(db.to_json_dump(), f, indent=1)
+        log(f"JSON DB dump: {dump}")
+    if args.dbinram and args.queries:
+        _place_all(db, args, call_string)
+    return 0
+
+
+def run_placement(args, call_string: str) -> int:
+    from rappas_tpu.db import PhyloKmerDB
+
+    if not args.database or not args.queries:
+        print("placement needs -d/--database and -q/--queries",
+              file=sys.stderr)
+        return 2
+    db = PhyloKmerDB.load(args.database)
+    _place_all(db, args, call_string)
+    return 0
+
+
+def _place_all(db, args, call_string: str) -> None:
+    from rappas_tpu.place.pipeline import PlacementConfig, place_queries
+
+    cfg = PlacementConfig(
+        keep_at_most=args.keep_at_most,
+        keep_factor=args.keep_factor,
+        guppy_compatible=args.guppy_compat,
+        treat_ambiguities=not args.noamb,
+        ambiguities_with_max=args.ambwithmax,
+        ns_bound=(args.nsbound if args.nsbound is not None
+                  else float("-inf")),
+        batch_size=args.batch_size,
+        invocation=f"rappas-tpu {call_string}")
+    for q in args.queries.split(","):
+        place_queries(db, q, args.workdir, cfg)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

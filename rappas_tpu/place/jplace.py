@@ -1,0 +1,121 @@
+"""jplace (JSON placement) output.
+
+Reproduces the reference's jplace assembly
+(``/root/reference/src/main_v2/Main_PLACEMENT_v07.java:216-315`` and
+``PlacementProcess.java:974-1047``):
+
+* ``tree``: original tree newick with branch lengths (12 decimals),
+  internal labels and ``{edge_id}`` labels;
+* ``fields`` default order ``[edge_num, likelihood, like_weight_ratio,
+  distal_length, pendant_length]``; ``--guppy-compat`` order
+  ``[distal_length, edge_num, like_weight_ratio, likelihood,
+  pendant_length]`` (``Main_PLACEMENT_v07.java:281-297``);
+* one placement object per *distinct* read sequence; duplicate reads are
+  appended to the ``nm`` list (full header for the first occurrence,
+  header truncated at the first space for duplicates --
+  ``PlacementProcess.java:605-612,1052-1060``);
+* keep-factor cutoff: after the best row, stop at the first row with
+  ``lwr < best_lwr * keep_factor`` (``PlacementProcess.java:996-1000``);
+* ``version: 3`` and ``metadata.invocation``.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+from rappas_tpu.tree import Tree, write_newick
+
+
+def jplace_tree_string(tree: Tree) -> str:
+    return write_newick(tree, branch_lengths=True, internal_labels=True,
+                        jplace_labels=True, id_prefix=False)
+
+
+class JplaceWriter:
+    def __init__(self, tree: Tree, invocation: str,
+                 guppy_compatible: bool = False,
+                 keep_factor: float = 0.01,
+                 ns_bound: float = float("-inf")):
+        self.tree = tree
+        self.invocation = invocation
+        self.guppy = guppy_compatible
+        self.keep_factor = keep_factor
+        self.ns_bound = ns_bound
+        self.placements: list[dict] = []
+        self._orders: list[int] = []
+        arr = tree.to_arrays()
+        self._jplace_ids = arr.jplace_edge_id
+        self._branch_len = arr.branch_len
+
+    # -------------------------------------------------------------- #
+    def add_placement(self, header: str, edges: np.ndarray,
+                      scores: np.ndarray, lwr: np.ndarray,
+                      order: int = 0) -> dict | None:
+        """One read's rows (descending score; -1 edge = padding).
+
+        Returns the placement object (to register for duplicates), or
+        None if the read was filtered by --nsbound.
+        """
+        valid = edges >= 0
+        if not valid.any():
+            return None
+        if float(scores[0]) < self.ns_bound:
+            return None
+        rows = []
+        best_lwr = None
+        for i in range(edges.shape[0]):
+            if edges[i] < 0:
+                break
+            w = float(lwr[i])
+            if best_lwr is None:
+                best_lwr = w
+            elif w < best_lwr * self.keep_factor:
+                break
+            node = int(edges[i])
+            edge_num = int(self._jplace_ids[node])
+            likelihood = float(np.float32(scores[i]))
+            distal = float(np.float32(self._branch_len[node] /
+                                      np.float32(2.0)))
+            if self.guppy:
+                rows.append([distal, edge_num, w, likelihood, 0.0])
+            else:
+                rows.append([edge_num, likelihood, w, distal, 0.0])
+        placement = {"p": rows, "nm": [[header, 1]]}
+        self.placements.append(placement)
+        self._orders.append(order)
+        return placement
+
+    @staticmethod
+    def add_duplicate(placement: dict, header: str) -> None:
+        """Register an identical read on an existing placement
+        (sub-header = up to first space, ``PlacementProcess.java:
+        598-612``)."""
+        sub = header.split(" ")[0]
+        placement["nm"].append([sub, 1])
+
+    # -------------------------------------------------------------- #
+    def to_dict(self) -> dict:
+        if self.guppy:
+            fields = ["distal_length", "edge_num", "like_weight_ratio",
+                      "likelihood", "pendant_length"]
+        else:
+            fields = ["edge_num", "likelihood", "like_weight_ratio",
+                      "distal_length", "pendant_length"]
+        # batches complete out of read order; restore first-occurrence
+        # order like the reference's serial loop
+        ordered = [p for _, p in sorted(zip(self._orders, self.placements),
+                                        key=lambda t: t[0])]
+        return {
+            "tree": jplace_tree_string(self.tree),
+            "placements": ordered,
+            "version": 3,
+            "metadata": {"invocation": self.invocation},
+            "fields": fields,
+        }
+
+    def write(self, path) -> None:
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, indent=1)
+            f.write("\n")

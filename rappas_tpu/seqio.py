@@ -92,9 +92,13 @@ class ReadBatcher:
 
     def __init__(self, batch_size: int = 1024,
                  buckets: tuple[int, ...] = (64, 128, 256, 512, 1024, 4096,
-                                             16384)):
+                                             16384),
+                 pad_batch: bool = True):
         self.batch_size = batch_size
         self.buckets = tuple(sorted(buckets))
+        #: pad the final partial batch up to ``batch_size`` rows (padding
+        #: rows have length 0) so XLA compiles one shape per bucket
+        self.pad_batch = pad_batch
 
     def bucket_for(self, length: int) -> int:
         for b in self.buckets:
@@ -116,9 +120,8 @@ class ReadBatcher:
             if lst:
                 yield self._emit(b, lst)
 
-    @staticmethod
-    def _emit(bucket: int, items: list[tuple[str, str]]):
-        n = len(items)
+    def _emit(self, bucket: int, items: list[tuple[str, str]]):
+        n = self.batch_size if self.pad_batch else len(items)
         mat = np.full((n, bucket), 0xFF, np.uint8)
         lens = np.zeros(n, np.int32)
         headers = []

@@ -11,6 +11,22 @@ import sys
 import time
 
 VERBOSITY = 0
+_CACHE_ENABLED = False
+
+
+def enable_compile_cache(path: str = "/tmp/rappas_tpu_jax_cache") -> None:
+    """Turn on JAX's persistent compilation cache so repeated CLI
+    invocations skip the 20-40s first-compile cost."""
+    global _CACHE_ENABLED
+    if _CACHE_ENABLED:
+        return
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        _CACHE_ENABLED = True
+    except Exception:
+        pass
 
 
 def set_verbosity(v: int) -> None:
