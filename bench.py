@@ -1,0 +1,126 @@
+"""Placement throughput benchmark (the reference's headline metric).
+
+Reference baseline: RAPPAS v1.00 places 1M x 150bp reads in ~30-40 min on
+one desktop CPU core => ~500 reads/s (``/root/reference/README.md:244``,
+BASELINE.md).  This bench measures reads placed per second per chip on a
+~150-taxon-equivalent DB (k=8, ~300 edge slots, 150bp reads) -- the
+"config 1" scale of BASELINE.json.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "reads/s", "vs_baseline": N/500}``
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_READS_PER_S = 500.0  # reference, 1 CPU core (README.md:244)
+
+
+def synthetic_db(k=8, n_edges=300, mean_edges_per_kmer=5,
+                 kmer_occupancy=0.6, seed=0):
+    """Synthetic DB shaped like a ~150-taxon 16S build: 4^k rows, ~60%
+    occupied, ~5 postings per present k-mer (ratios measured on the
+    tiny-fixture PhyML build)."""
+    from rappas_tpu.alphabet import DNA
+    from rappas_tpu.db import PhyloKmerDB, build_csr
+    from rappas_tpu.tree import parse_newick
+
+    rng = np.random.default_rng(seed)
+    labels = ",".join(f"L{i}:0.1" for i in range(n_edges - 1))
+    tree = parse_newick(f"({labels})root;")
+    tree.reset_jplace_edge_ids()
+    thr = PhyloKmerDB.threshold(k, 1.5, 4)
+    n_keys = int(4 ** k * kmer_occupancy)
+    n_post = n_keys * mean_edges_per_kmer
+    codes = rng.choice(4 ** k, size=n_keys, replace=False).astype(np.int64)
+    codes = np.repeat(codes, mean_edges_per_kmer)
+    edges = rng.integers(1, n_edges, n_post).astype(np.int32)
+    scores = (thr + rng.random(n_post) * 2.5).astype(np.float32)
+    keys, offsets, e, deltas = build_csr(codes, edges, scores, thr)
+    return PhyloKmerDB(k=k, omega=1.5, alphabet=DNA, thr_log10=thr,
+                       tree=tree, keys=keys, offsets=offsets, edges=e,
+                       deltas=deltas)
+
+
+def make_reads(n, length, seed=1):
+    rng = np.random.default_rng(seed)
+    mat = rng.integers(0, 4, (n, length)).astype(np.int8)
+    lens = np.full(n, length, np.int32)
+    return mat, lens
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from rappas_tpu.place.engine import (accumulate, finalize,
+                                         kmer_rows_packed, pack_reads)
+    from rappas_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
+    B = 65536          # reads per device step
+    L = 150
+    iters = 24
+    drain = 8          # batches per device->host drain (the tunnel has a
+                       # ~140 ms fixed per-fetch cost)
+    warmup = 3
+
+    db = synthetic_db()
+    k = db.k
+    dense, scale = db.dense_matrix_u16(pad_rows=1)
+    D = jax.device_put(dense)
+    n_rows = D.shape[0]
+    thr = jnp.float32(db.thr_log10)
+    scale = jnp.float32(scale)
+
+    @jax.jit
+    def step(D, packed, lengths):
+        rows = kmer_rows_packed(packed, lengths, k, 4, n_rows, L)
+        acc = accumulate(D, rows) * scale
+        te, ts, lwr, nm = finalize(acc, lengths, thr, k, 7)
+        # pack per-batch outputs into one compact array; LWR is cheap to
+        # recompute on host from the scores, so ship edges+scores+count
+        return jnp.concatenate(
+            [te.astype(jnp.float32), ts,
+             nm[:, None].astype(jnp.float32)], axis=1)
+
+    codes_np, lens_np = make_reads(B, L)
+    packed_np = pack_reads(codes_np)
+    lens = jnp.asarray(lens_np)
+
+    # warm-up: compile + the tunnel's first-fetch handshake
+    for _ in range(warmup):
+        out = step(D, jnp.asarray(packed_np), lens)
+        np.asarray(out[:1])
+    out.block_until_ready()
+
+    # timed: stream batches (H2D included), drain results in windows
+    t0 = time.time()
+    window = []
+    for i in range(iters):
+        window.append(step(D, jnp.asarray(packed_np), lens))
+        if len(window) >= drain:
+            np.asarray(jnp.concatenate(window, axis=0))
+            window = []
+    if window:
+        np.asarray(jnp.concatenate(window, axis=0))
+    dt = time.time() - t0
+
+    reads_per_s = iters * B / dt
+    print(json.dumps({
+        "metric": "reads_placed_per_sec_per_chip "
+                  "(k=8, 300-edge DB, 150bp reads)",
+        "value": round(reads_per_s),
+        "unit": "reads/s",
+        "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 1),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

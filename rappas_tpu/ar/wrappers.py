@@ -227,12 +227,14 @@ def parse_paml_tree(rst_text: str, alphabet: Alphabet) -> Tree:
             trees.append(t)
     if len(trees) < 3:
         raise ValueError("could not locate the 3 header trees in rst")
-    bl_tree = parse_newick(trees[0], force_rooting=False)
-    num_tree = parse_newick(trees[2], force_rooting=False)
+    # PAML writes spaces around labels/branch lengths; normalise
+    bl_tree = parse_newick(trees[0].replace(" ", ""), force_rooting=False)
+    num_tree = parse_newick(trees[2].replace(" ", ""),
+                            force_rooting=False)
     # matched pre-order DFS: same topology, transfer numeric labels
     for a, b in zip(bl_tree.nodes, num_tree.nodes):
         if not a.is_leaf:
-            a.label = b.label if b.label else a.label
+            a.label = b.label.strip() if b.label else a.label
     bl_tree.init_indexes()
     return bl_tree
 
@@ -248,25 +250,38 @@ def parse_paml_probas(rst_text: str, tree: Tree, n_sites: int,
     P = _alloc_probas(tree, n_sites, alphabet)
     node_re = re.compile(r"Prob distribution at node (\d+), by site")
     cur_node = None
-    site = 0
     for line in rst_text.splitlines():
         m = node_re.search(line)
         if m:
-            label = m.group(1)
-            cur_node = tree.by_label(label).id
-            site = 0
+            cur_node = tree.by_label(m.group(1)).id
+            continue
+        if re.match(r"\(\d+\) ", line) or \
+                line.startswith("Best amino acids reconstructed"):
+            # next rst section (joint reconstruction / codon translation
+            # dump): the marginal prob distributions are over
+            cur_node = None
             continue
         if cur_node is None:
             continue
-        pairs = _PAML_PP_RE.findall(line)
-        if len(pairs) < alphabet.n_states:
+        # data rows: "  <site>  <freq>  <data>: A(p) C(p) ..."; states
+        # with p < 0.001 are omitted by PAML and default to 0 (then
+        # clamped), like the reference's per-site init
+        # (PAMLWrapper.java:159-306)
+        toks = line.split()
+        if not toks or not toks[0].isdigit():
             continue
-        if site >= n_sites:
+        site = int(toks[0]) - 1
+        if site < 0 or site >= n_sites:
+            continue
+        pairs = _PAML_PP_RE.findall(line)
+        if not pairs:
             continue
         vec = np.zeros(alphabet.n_states, np.float32)
-        for ch, p in pairs[:alphabet.n_states]:
+        for ch, p in pairs:
+            if ch == "-":
+                continue
             code = int(alphabet.char_to_code[ord(ch)])
-            vec[code] = np.float32(p)
+            if code != 255:
+                vec[code] = np.float32(p)
         P[cur_node, site, :] = _finalize(vec)
-        site += 1
     return P

@@ -90,9 +90,20 @@ def build_parser() -> argparse.ArgumentParser:
                    help="combine ambiguity alternatives with max, "
                         "not mean")
     p.add_argument("--batch-size", type=int, default=1024)
+    p.add_argument("--precision", choices=["f32", "u16"], default="f32",
+                   help="device score-table precision: f32 = strict "
+                        "reference parity, u16 = fixed-point (2x faster, "
+                        "error at f32-rounding scale)")
+    p.add_argument("--table", choices=["auto", "direct", "compact"],
+                   default="auto",
+                   help="device k-mer table layout (auto: direct-indexed "
+                        "when S^k is small enough, else binary-search "
+                        "compact table)")
     p.add_argument("--calibration", action="store_true",
-                   help="(accepted for compatibility; calibration is a "
-                        "no-op like the reference default)")
+                   help="calibrate a normalized-score lower bound from "
+                        "random sequences at DB build (the reference's "
+                        "--calibration is dead code; this is a working "
+                        "implementation)")
     return p
 
 
@@ -135,6 +146,15 @@ def run_build(args, call_string: str) -> int:
     db = build_database(args.refalign, args.reftree, args.workdir, cfg)
     if db is None:
         return 0
+    if args.calibration:
+        from rappas_tpu.build.calibration import calibrate
+        bound = calibrate(db)
+        log(f"calibrated noise score bound: {bound}")
+        # re-save with the calibration in the header
+        name = args.dbfilename or f"DB_k{args.k}_o{args.omega}.rptpu"
+        if not name.endswith(".rptpu"):
+            name += ".rptpu"
+        db.save(Path(args.workdir) / name)
     if args.jsondb:
         import json
         dump = Path(args.workdir) / "DB.json"
@@ -168,8 +188,10 @@ def _place_all(db, args, call_string: str) -> None:
         treat_ambiguities=not args.noamb,
         ambiguities_with_max=args.ambwithmax,
         ns_bound=(args.nsbound if args.nsbound is not None
-                  else float("-inf")),
+                  else db.meta.get("calibration_ns_bound",
+                                   float("-inf"))),
         batch_size=args.batch_size,
+        precision=args.precision, table=args.table,
         invocation=f"rappas-tpu {call_string}")
     for q in args.queries.split(","):
         place_queries(db, q, args.workdir, cfg)

@@ -177,16 +177,61 @@ class PhyloKmerDB:
         return out
 
     # -------------------------------------------------------------- #
-    def dense_matrix(self, pad_rows: int = 1) -> np.ndarray:
-        """Dense delta matrix ``D[S^k + pad_rows, n_edge_slots]`` for the
-        TPU fast path (absent entries 0; final pad rows stay 0 and serve
-        as the padding target for invalid k-mers)."""
-        S = self.alphabet.n_states
-        n_rows = S ** self.k + pad_rows
-        D = np.zeros((n_rows, self.n_edge_slots), np.float32)
-        row = np.repeat(self.keys, np.diff(self.offsets))
-        D[row, self.edges] = self.deltas
+    def _matrix(self, n_rows: int, rows: np.ndarray, dtype,
+                scale: np.float32 | None):
+        D = np.zeros((n_rows, self.n_edge_slots), dtype)
+        if scale is None:
+            D[rows, self.edges] = self.deltas
+        else:
+            q = np.maximum(np.rint(self.deltas / scale), 1.0)
+            D[rows, self.edges] = np.minimum(q, 65535.0).astype(dtype)
         return D
+
+    def _u16_scale(self) -> np.float32:
+        max_delta = float(self.deltas.max()) if self.nnz else 1.0
+        return np.float32(max_delta / 65535.0) if max_delta > 0 else \
+            np.float32(1.0)
+
+    def dense_matrix(self, pad_rows: int = 1) -> np.ndarray:
+        """Dense delta matrix ``D[S^k + pad_rows, n_edge_slots]``: row
+        index == k-mer index (absent entries 0; the final pad rows stay 0
+        and serve as the miss/padding target)."""
+        S = self.alphabet.n_states
+        rows = np.repeat(self.keys, np.diff(self.offsets))
+        return self._matrix(S ** self.k + pad_rows, rows, np.float32, None)
+
+    def dense_matrix_u16(self, pad_rows: int = 1):
+        """(D_u16, scale): fixed-point dense deltas, halving HBM gather
+        traffic vs f32.
+
+        ``delta = D_u16 * scale`` with ``scale = max_delta / 65535``;
+        present entries are clamped to >= 1 so the ``acc > 0`` match test
+        still works.  The quantisation step (~5e-5 log10 units for
+        typical DBs) is the same order as f32 addition rounding at score
+        magnitudes, so u16 mode stays within the fp tolerance used for
+        reference parity; f32 mode remains available for strict
+        comparisons.
+        """
+        S = self.alphabet.n_states
+        scale = self._u16_scale()
+        rows = np.repeat(self.keys, np.diff(self.offsets))
+        return (self._matrix(S ** self.k + pad_rows, rows, np.uint16,
+                             scale), scale)
+
+    def compact_matrix(self, pad_rows: int = 1) -> np.ndarray:
+        """Compact delta matrix ``D[n_kmers + pad_rows, n_edge_slots]``:
+        row i holds the postings of ``keys[i]``.  Used with binary-search
+        lookup when ``S^k`` is too large for a direct-indexed table
+        (protein mode, large k)."""
+        rows = np.repeat(np.arange(self.n_kmers), np.diff(self.offsets))
+        return self._matrix(self.n_kmers + pad_rows, rows, np.float32,
+                            None)
+
+    def compact_matrix_u16(self, pad_rows: int = 1):
+        scale = self._u16_scale()
+        rows = np.repeat(np.arange(self.n_kmers), np.diff(self.offsets))
+        return (self._matrix(self.n_kmers + pad_rows, rows, np.uint16,
+                             scale), scale)
 
 
 def build_csr(codes: np.ndarray, edges: np.ndarray,

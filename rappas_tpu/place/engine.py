@@ -79,12 +79,17 @@ def kmer_rows(codes: jax.Array, k: int, n_states: int,
 
 @functools.partial(jax.jit, static_argnames=("block_q",))
 def accumulate(D: jax.Array, rows: jax.Array,
-               block_q: int = 8) -> jax.Array:
+               block_q: int = 16) -> jax.Array:
     """sum_q D[rows[:, q], :] -> [B, E] without materialising [B, Q, E].
 
     Scans over k-mer slots in blocks of ``block_q`` (each step gathers a
     [B, block_q, E] tile and reduces it, keeping the working set small
-    while amortising scan overhead).
+    while amortising scan overhead).  ``block_q=16`` measured fastest on
+    v5e for E~300.
+
+    When D is uint16 fixed-point (see ``PhyloKmerDB.dense_matrix_u16``)
+    the sum of quantised deltas is < 2^24, so f32 accumulation is exact;
+    the caller applies the scale once to the result.
     """
     B, Q = rows.shape
     E = D.shape[1]
@@ -97,10 +102,84 @@ def accumulate(D: jax.Array, rows: jax.Array,
     rows_t = rows.reshape(B, nblocks, block_q).transpose(1, 0, 2)
 
     def step(acc, r):
-        return acc + D[r].sum(axis=1), None
+        return acc + D[r].astype(jnp.float32).sum(axis=1), None
 
     acc, _ = jax.lax.scan(step, jnp.zeros((B, E), jnp.float32), rows_t)
     return acc
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_states", "n_rows",
+                                             "length"))
+def kmer_rows_packed(packed: jax.Array, lengths: jax.Array, k: int,
+                     n_states: int, n_rows: int, length: int) -> jax.Array:
+    """2-bit packed reads -> [B, Q] row indices (pure-ACGT fast path).
+
+    packed: uint8[B, ceil(L/4)], base i at bits (2*(i%4)) of byte i//4.
+    Windows past ``lengths[b] - k`` map to the miss row.
+    """
+    B = packed.shape[0]
+    L = length
+    Q = L - k + 1
+    p32 = packed.astype(jnp.int32)
+    shifts = jnp.array([0, 2, 4, 6], jnp.int32)
+    codes = ((p32[:, :, None] >> shifts[None, None, :]) & 3)
+    codes = codes.reshape(B, -1)[:, :L]
+    idx = jnp.zeros((B, Q), jnp.int32)
+    for i in range(k):
+        idx = idx * n_states + jax.lax.dynamic_slice_in_dim(codes, i, Q,
+                                                            axis=1)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, Q), 1)
+    valid = pos <= (lengths[:, None] - k)
+    return jnp.where(valid, idx, n_rows - 1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_states"))
+def kmer_indices64(codes: jax.Array, k: int, n_states: int) -> jax.Array:
+    """[B, L] int8 codes -> [B, Q] k-mer indices, -1 for windows
+    containing ambiguity/padding.  Used by the compact-table mode where
+    ``n_states**k`` exceeds the dense-row space (protein mode, large k).
+    int32 when the index space fits, else int64 (requires x64 -- the
+    engine enables it).
+    """
+    B, L = codes.shape
+    Q = L - k + 1
+    dtype = jnp.int32 if n_states ** k <= 2 ** 31 - 1 else jnp.int64
+    c = codes.astype(dtype)
+    idx = jnp.zeros((B, Q), dtype)
+    valid = jnp.ones((B, Q), bool)
+    for i in range(k):
+        w = jax.lax.dynamic_slice_in_dim(c, i, Q, axis=1)
+        valid &= w >= 0
+        idx = idx * n_states + jnp.maximum(w, 0)
+    return jnp.where(valid, idx, dtype(-1))
+
+
+@jax.jit
+def compact_rows(keys: jax.Array, idx: jax.Array) -> jax.Array:
+    """Map k-mer indices to compact table rows via binary search.
+
+    keys: int64[n_keys] sorted unique k-mer indices present in the DB.
+    idx: int64[...] query indices (-1 = invalid).
+    Returns int32 rows into ``D_compact[n_keys + 1, E]``; misses and
+    invalid queries map to the all-zero last row.
+    """
+    n = keys.shape[0]
+    pos = jnp.searchsorted(keys, idx)
+    hit = (pos < n) & (keys[jnp.clip(pos, 0, n - 1)] == idx) & (idx >= 0)
+    return jnp.where(hit, pos, n).astype(jnp.int32)
+
+
+def pack_reads(codes: np.ndarray) -> np.ndarray:
+    """Host-side 2-bit packing of int8 state codes (no ambiguities);
+    negative codes pack as 0 (their windows are masked by length)."""
+    B, L = codes.shape
+    safe = np.where(codes < 0, 0, codes).astype(np.uint8)
+    pad = (-L) % 4
+    if pad:
+        safe = np.pad(safe, ((0, 0), (0, pad)))
+    quads = safe.reshape(B, -1, 4)
+    return (quads[:, :, 0] | (quads[:, :, 1] << 2) |
+            (quads[:, :, 2] << 4) | (quads[:, :, 3] << 6)).astype(np.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "keep_at_most"))
@@ -135,9 +214,10 @@ def finalize(acc: jax.Array, lengths: jax.Array, thr: jax.Array,
 
 
 @jax.jit
-def ambiguous_pass(D: jax.Array, alt_rows: jax.Array, alt_win: jax.Array,
-                   win_read: jax.Array, win_inv_w: jax.Array,
-                   win_is_mean: jax.Array, acc: jax.Array) -> jax.Array:
+def ambiguous_pass(D: jax.Array, scale: jax.Array, alt_rows: jax.Array,
+                   alt_win: jax.Array, win_read: jax.Array,
+                   win_inv_w: jax.Array, win_is_mean: jax.Array,
+                   acc: jax.Array) -> jax.Array:
     """Add ambiguous-window contributions into ``acc``.
 
     alt_rows  int32[n_alt]: D row per alternative k-mer (miss row = pad)
@@ -155,7 +235,7 @@ def ambiguous_pass(D: jax.Array, alt_rows: jax.Array, alt_win: jax.Array,
     ``contrib = max_alt delta`` (0 if nothing matched).
     """
     n_win = win_read.shape[0]
-    rows = D[alt_rows]                      # [n_alt, E]
+    rows = D[alt_rows].astype(jnp.float32) * scale   # [n_alt, E] deltas
     ten = jnp.exp2(rows * np.float32(np.log2(10.0)))
     sums = jax.ops.segment_sum(ten, alt_win, num_segments=n_win)
     maxs = jax.ops.segment_max(rows, alt_win, num_segments=n_win)
@@ -172,10 +252,19 @@ def ambiguous_pass(D: jax.Array, alt_rows: jax.Array, alt_win: jax.Array,
 # ====================================================================== #
 
 class PlacementEngine:
+    #: a direct-indexed table is used when S^k stays under this row
+    #: budget (4^13 = 67M rows of offsets is the practical DNA ceiling);
+    #: beyond it (protein mode, large k) the compact binary-search table
+    #: takes over -- the TPU analog of the reference's choice between
+    #: direct capacity 4^k/2 and hashed storage
+    #: (CustomHash_v4_FastUtil81.java:49-63).
+    DIRECT_ROW_LIMIT = 1 << 26
+
     def __init__(self, db: PhyloKmerDB, keep_at_most: int = 7,
                  treat_ambiguities: bool = True,
                  ambiguities_with_max: bool = False,
-                 device=None):
+                 device=None, precision: str = "f32",
+                 table: str = "auto"):
         from rappas_tpu.utils import enable_compile_cache
         enable_compile_cache()
         self.db = db
@@ -184,8 +273,41 @@ class PlacementEngine:
         self.keep_at_most = keep_at_most
         self.treat_ambiguities = treat_ambiguities
         self.ambiguities_with_max = ambiguities_with_max
+        self.precision = precision
         self.thr = jnp.float32(db.thr_log10)
-        dense = db.dense_matrix(pad_rows=1)
+        if table == "auto":
+            table = ("direct" if self.alphabet.n_states ** self.k
+                     <= self.DIRECT_ROW_LIMIT else "compact")
+        self.table = table
+        if (table == "compact" and
+                self.alphabet.n_states ** self.k > 2 ** 31 - 1 and
+                not jax.config.read("jax_enable_x64")):
+            # k-mer indices need >31 bits (e.g. amino k=8: 20^8); jax
+            # truncates int64 to int32 unless x64 is on.  int64 lookups
+            # are emulated on TPU -- acceptable for the protein niche.
+            jax.config.update("jax_enable_x64", True)
+        if precision not in ("f32", "u16"):
+            raise ValueError(f"precision must be f32 or u16, got "
+                             f"{precision!r}")
+        if table == "direct":
+            if precision == "u16":
+                dense, scale = db.dense_matrix_u16(pad_rows=1)
+            else:
+                dense, scale = db.dense_matrix(pad_rows=1), np.float32(1)
+            self.keys_dev = None
+        elif table == "compact":
+            if precision == "u16":
+                dense, scale = db.compact_matrix_u16(pad_rows=1)
+            else:
+                dense, scale = db.compact_matrix(pad_rows=1), np.float32(1)
+            keys = db.keys
+            if self.alphabet.n_states ** self.k <= 2 ** 31 - 1:
+                keys = keys.astype(np.int32)
+            self.keys_dev = jax.device_put(keys, device)
+        else:
+            raise ValueError(f"table must be auto/direct/compact, got "
+                             f"{table!r}")
+        self.scale = jnp.float32(scale)
         self.n_rows = dense.shape[0]
         self.D = jax.device_put(dense, device)
         # max ambiguities per k-mer: floor(k^(1/S))
@@ -222,13 +344,18 @@ class PlacementEngine:
                 np.zeros((B, K), np.float32),
                 np.zeros(B, np.int32))
         codes = self.encode_batch(matrix)
-        rows = kmer_rows(jnp.asarray(codes), self.k,
-                         self.alphabet.n_states, self.n_rows)
-        acc = accumulate(self.D, rows)
+        if self.table == "direct":
+            rows = kmer_rows(jnp.asarray(codes), self.k,
+                             self.alphabet.n_states, self.n_rows)
+        else:
+            idx = kmer_indices64(jnp.asarray(codes), self.k,
+                                 self.alphabet.n_states)
+            rows = compact_rows(self.keys_dev, idx)
+        acc = accumulate(self.D, rows) * self.scale
         if self.treat_ambiguities:
             amb = self._expand_ambiguities(codes, matrix, lengths)
             if amb is not None:
-                acc = ambiguous_pass(self.D, *amb, acc)
+                acc = ambiguous_pass(self.D, self.scale, *amb, acc)
         te, ts, lwr, nm = finalize(acc, jnp.asarray(lengths), self.thr,
                                    self.k, self.keep_at_most)
         return BatchResult(np.asarray(te), np.asarray(ts),
@@ -278,6 +405,12 @@ class PlacementEngine:
                     variants[:, p] = np.asarray(al)[
                         np.arange(W) % len(al)]
                 kidx = variants @ weights
+                if self.table == "compact":
+                    nk = self.db.n_kmers
+                    pos = np.searchsorted(self.db.keys, kidx)
+                    hit = (pos < nk) & (self.db.keys[
+                        np.clip(pos, 0, nk - 1)] == kidx)
+                    kidx = np.where(hit, pos, nk)
                 alt_rows.append(kidx)
                 alt_win.append(np.full(W, n_win, np.int32))
                 win_read.append(b)

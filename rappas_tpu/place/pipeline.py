@@ -47,6 +47,8 @@ class PlacementConfig:
     batch_size: int = 1024
     write_tsv: bool = True
     invocation: str = "rappas-tpu"
+    precision: str = "f32"
+    table: str = "auto"
 
 
 def place_queries(db: PhyloKmerDB, query_path, workdir,
@@ -61,7 +63,8 @@ def place_queries(db: PhyloKmerDB, query_path, workdir,
     engine = engine or PlacementEngine(
         db, keep_at_most=config.keep_at_most,
         treat_ambiguities=config.treat_ambiguities,
-        ambiguities_with_max=config.ambiguities_with_max)
+        ambiguities_with_max=config.ambiguities_with_max,
+        precision=config.precision, table=config.table)
     writer = JplaceWriter(db.tree, config.invocation,
                           guppy_compatible=config.guppy_compatible,
                           keep_factor=config.keep_factor,

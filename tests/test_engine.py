@@ -106,6 +106,88 @@ def test_noamb_mode(db):
             treat_ambiguities=False)
 
 
+def test_u16_precision_close_to_f32(db, engine):
+    eng16 = PlacementEngine(db, precision="u16")
+    rng = np.random.default_rng(9)
+    reads = random_reads(30, rng)
+    mat, lens = batch_of(reads)
+    r32 = engine.score(mat, lens)
+    r16 = eng16.score(mat, lens)
+    assert np.array_equal(r32.n_matched, r16.n_matched)
+    for i in range(len(reads)):
+        v32 = r32.top_edges[i] >= 0
+        v16 = r16.top_edges[i] >= 0
+        assert v32.sum() == v16.sum()
+        # quantisation error: ~2.6e-5 per matched k-mer
+        assert np.allclose(sorted(r32.top_scores[i][v32]),
+                           sorted(r16.top_scores[i][v16]), atol=5e-3)
+
+
+def test_packed_path_matches_int8(db, engine):
+    from rappas_tpu.place.engine import (accumulate, kmer_rows,
+                                         kmer_rows_packed, pack_reads)
+    import jax.numpy as jnp
+    rng = np.random.default_rng(10)
+    reads = random_reads(16, rng)
+    mat, lens = batch_of(reads)
+    codes = engine.encode_batch(mat)
+    L = mat.shape[1]
+    r_int8 = np.asarray(kmer_rows(jnp.asarray(codes), engine.k, 4,
+                                  engine.n_rows))
+    packed = pack_reads(codes)
+    r_packed = np.asarray(kmer_rows_packed(
+        jnp.asarray(packed), jnp.asarray(lens), engine.k, 4,
+        engine.n_rows, L))
+    # pure-ACGT reads: identical row streams
+    assert np.array_equal(r_int8, r_packed)
+
+
+def test_compact_table_matches_oracle(db):
+    engine = PlacementEngine(db, table="compact")
+    rng = np.random.default_rng(11)
+    compare(db, engine, random_reads(30, rng, with_amb=0.5))
+
+
+def synthetic_aa_db(seed=0, k=4, n_edges=6, n_post=1500):
+    from rappas_tpu.alphabet import AA
+    from rappas_tpu.tree import parse_newick
+    rng = np.random.default_rng(seed)
+    labels = ",".join(f"L{i}:0.1" for i in range(n_edges - 1))
+    tree = parse_newick(f"({labels})root;")
+    tree.reset_jplace_edge_ids()
+    thr = PhyloKmerDB.threshold(k, 1.5, 20)
+    codes = rng.integers(0, 20 ** k, n_post).astype(np.int64)
+    edges = rng.integers(1, n_edges, n_post).astype(np.int32)
+    scores = (thr + rng.random(n_post) * 2.0).astype(np.float32)
+    keys, offsets, e, deltas = build_csr(codes, edges, scores, thr)
+    return PhyloKmerDB(k=k, omega=1.5, alphabet=AA, thr_log10=thr,
+                       tree=tree, keys=keys, offsets=offsets, edges=e,
+                       deltas=deltas)
+
+
+def test_protein_mode_matches_oracle():
+    db = synthetic_aa_db()
+    engine = PlacementEngine(db)
+    assert engine.table == "direct"  # 20^4 = 160k rows, still direct
+    rng = np.random.default_rng(12)
+    letters = db.alphabet.letters
+    reads = ["".join(letters[c] for c in rng.integers(0, 20, 25))
+             for _ in range(20)]
+    # sprinkle an X ambiguity
+    reads[0] = reads[0][:5] + "X" + reads[0][6:]
+    compare(db, engine, reads)
+
+
+def test_protein_compact_mode():
+    db = synthetic_aa_db(k=4)
+    engine = PlacementEngine(db, table="compact")
+    rng = np.random.default_rng(13)
+    letters = db.alphabet.letters
+    reads = ["".join(letters[c] for c in rng.integers(0, 20, 30))
+             for _ in range(20)]
+    compare(db, engine, reads)
+
+
 def test_too_short_read(db, engine):
     mat, lens = batch_of(["ACG"])  # shorter than k
     res = engine.score(mat, lens)

@@ -1,0 +1,64 @@
+"""Native explorer must match the Python oracle bit for bit."""
+
+import numpy as np
+import pytest
+
+from rappas_tpu.build.explorer import explore_node_exact, sort_probas_desc
+from rappas_tpu.db import PhyloKmerDB
+
+native = pytest.importorskip("rappas_tpu.native")
+
+
+def random_logp(L, S, seed, conc=0.3):
+    rng = np.random.default_rng(seed)
+    P = rng.dirichlet(np.ones(S) * conc, size=L).astype(np.float32)
+    return np.log10(np.maximum(P, np.float32(1.4e-45))).astype(np.float32)
+
+
+@pytest.mark.parametrize("seed", [0, 5])
+def test_native_matches_python_no_jumps(seed):
+    k = 5
+    P = random_logp(25, 4, seed)
+    thr = PhyloKmerDB.threshold(k, 1.5, 4)
+    st, pp = sort_probas_desc(P)
+    c_py, s_py = explore_node_exact(st, pp, k, thr)
+    c_na, s_na = native.explore_node_exact_native(st, pp, k, thr)
+    # identical emission order and bit-identical f32 sums
+    assert np.array_equal(c_py, c_na)
+    assert np.array_equal(s_py.view(np.uint32), s_na.view(np.uint32))
+
+
+def test_native_matches_python_with_jumps():
+    k = 4
+    P = random_logp(20, 4, 3, conc=1.0)
+    thr = np.float32(-3.0)
+    gaps = {3: [2], 7: [1, 4], 12: [3]}
+    st, pp = sort_probas_desc(P)
+    for limit1 in (True, False):
+        c_py, s_py = explore_node_exact(st, pp, k, thr, gaps, True, limit1)
+        c_na, s_na = native.explore_node_exact_native(st, pp, k, thr,
+                                                      gaps, True, limit1)
+        assert np.array_equal(c_py, c_na)
+        assert np.array_equal(s_py.view(np.uint32), s_na.view(np.uint32))
+
+
+def test_native_empty_result():
+    k = 4
+    P = np.full((10, 4), -40.0, np.float32)
+    st, pp = sort_probas_desc(P)
+    c, s = native.explore_node_exact_native(st, pp, k, np.float32(-1.0))
+    assert c.size == 0 and s.size == 0
+
+
+def test_native_speed_sanity():
+    """Native should chew a realistic node quickly."""
+    import time
+    k = 8
+    P = random_logp(1500, 4, 1)
+    thr = PhyloKmerDB.threshold(k, 1.5, 4)
+    st, pp = sort_probas_desc(P)
+    t = time.time()
+    c, s = native.explore_node_exact_native(st, pp, k, thr)
+    dt = time.time() - t
+    assert dt < 2.0, f"native explorer too slow: {dt:.1f}s"
+    assert c.size > 0
