@@ -63,55 +63,64 @@ def main():
     from rappas_tpu.utils import enable_compile_cache
 
     enable_compile_cache()
-    B = 65536          # reads per device step
+    B = 16384          # reads per device step (best measured gather rate)
+    STEPS = 16         # steps per host<->device chunk
     L = 150
-    iters = 24
-    drain = 8          # batches per device->host drain (the tunnel has a
-                       # ~140 ms fixed per-fetch cost)
-    warmup = 3
+    chunks = 6
+    warmup = 1
 
     db = synthetic_db()
     k = db.k
-    dense, scale = db.dense_matrix_u16(pad_rows=1)
-    D = jax.device_put(dense)
+    # f32 scores: measured FASTER than u16 on TPU (sub-32-bit gathers
+    # take a padded path) and bit-exact for parity
+    D = jax.device_put(db.dense_matrix(pad_rows=1))
     n_rows = D.shape[0]
     thr = jnp.float32(db.thr_log10)
-    scale = jnp.float32(scale)
 
     @jax.jit
     def step(D, packed, lengths):
         rows = kmer_rows_packed(packed, lengths, k, 4, n_rows, L)
-        acc = accumulate(D, rows) * scale
+        acc = accumulate(D, rows)
         te, ts, lwr, nm = finalize(acc, lengths, thr, k, 7)
-        # pack per-batch outputs into one compact array; LWR is cheap to
-        # recompute on host from the scores, so ship edges+scores+count
-        return jnp.concatenate(
-            [te.astype(jnp.float32), ts,
-             nm[:, None].astype(jnp.float32)], axis=1)
+        # byte-lean outputs: edges/count as u16, scores f32; LWR is
+        # recomputed on host from the scores (44 B/read total)
+        return (te.astype(jnp.uint16), ts, nm.astype(jnp.uint16))
 
-    codes_np, lens_np = make_reads(B, L)
-    packed_np = pack_reads(codes_np)
-    lens = jnp.asarray(lens_np)
+    codes_np, lens_np = make_reads(B * STEPS, L)
+    packed_np = pack_reads(codes_np)          # [B*STEPS, ceil(L/4)]
+    packed_np = packed_np.reshape(STEPS, B, -1)
+    lens_np = lens_np.reshape(STEPS, B)
+
+    def run_chunk():
+        """One H2D transfer (STEPS batches), STEPS device steps, results
+        with D2H started asynchronously."""
+        big = jnp.asarray(packed_np)          # single async H2D
+        lens = jnp.asarray(lens_np)
+        outs = [step(D, big[i], lens[i]) for i in range(STEPS)]
+        res = tuple(jnp.concatenate(parts, axis=0)
+                    for parts in zip(*outs))
+        for r in res:
+            r.copy_to_host_async()            # overlap D2H with compute
+        return res
+
+    def drain(res):
+        return tuple(np.asarray(r) for r in res)
 
     # warm-up: compile + the tunnel's first-fetch handshake
     for _ in range(warmup):
-        out = step(D, jnp.asarray(packed_np), lens)
-        np.asarray(out[:1])
-    out.block_until_ready()
+        drain(run_chunk())
 
-    # timed: stream batches (H2D included), drain results in windows
     t0 = time.time()
-    window = []
-    for i in range(iters):
-        window.append(step(D, jnp.asarray(packed_np), lens))
-        if len(window) >= drain:
-            np.asarray(jnp.concatenate(window, axis=0))
-            window = []
-    if window:
-        np.asarray(jnp.concatenate(window, axis=0))
+    pending = []
+    for _ in range(chunks):
+        pending.append(run_chunk())
+        if len(pending) > 2:
+            drain(pending.pop(0))             # one drain per chunk
+    for o in pending:
+        drain(o)
     dt = time.time() - t0
 
-    reads_per_s = iters * B / dt
+    reads_per_s = chunks * STEPS * B / dt
     print(json.dumps({
         "metric": "reads_placed_per_sec_per_chip "
                   "(k=8, 300-edge DB, 150bp reads)",

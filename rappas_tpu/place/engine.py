@@ -104,7 +104,13 @@ def accumulate(D: jax.Array, rows: jax.Array,
     def step(acc, r):
         return acc + D[r].astype(jnp.float32).sum(axis=1), None
 
-    acc, _ = jax.lax.scan(step, jnp.zeros((B, E), jnp.float32), rows_t)
+    # seed the carry from the operands rather than a literal zeros: under
+    # shard_map the carry must match the body output's varying-axes type
+    # (D varies over the table-shard axis, rows over the data axis);
+    # numerically this adds zeros (D's miss row is all-zero)
+    init = (rows[:, :1] * 0).astype(jnp.float32) + \
+        D[-1].astype(jnp.float32)[None, :]
+    acc, _ = jax.lax.scan(step, init, rows_t)
     return acc
 
 

@@ -45,6 +45,34 @@ def test_sharded_matches_single(db, dp, mp):
                            sorted(r_sh.top_lwr[i][sh_valid]), atol=1e-5)
 
 
+@pytest.mark.parametrize("dp,mp", [(4, 2), (2, 4), (1, 8)])
+def test_kmer_sharded_matches_single(db, dp, mp):
+    import jax
+    from rappas_tpu.parallel.kmer_sharded import KmerShardedPlacement
+    if len(jax.devices()) < dp * mp:
+        pytest.skip("not enough devices")
+    mesh = make_mesh(dp=dp, mp=mp)
+    sharded = KmerShardedPlacement(db, mesh)
+    single = PlacementEngine(db, treat_ambiguities=False)
+
+    rng = np.random.default_rng(7)
+    reads = random_reads(16, rng)
+    mat, lens = batch_of(reads)
+    codes = single.encode_batch(mat)
+
+    r_ref = single.score(mat, lens)
+    r_sh = sharded.score(codes, lens)
+    assert np.array_equal(r_ref.n_matched, r_sh.n_matched)
+    for i in range(len(reads)):
+        ref_valid = r_ref.top_edges[i] >= 0
+        sh_valid = r_sh.top_edges[i] >= 0
+        assert sorted(r_ref.top_edges[i][ref_valid].tolist()) == \
+            sorted(r_sh.top_edges[i][sh_valid].tolist())
+        assert np.allclose(sorted(r_ref.top_scores[i][ref_valid]),
+                           sorted(r_sh.top_scores[i][sh_valid]),
+                           atol=1e-5)
+
+
 def test_mesh_shapes():
     import jax
     mesh = make_mesh(dp=4, mp=2)
