@@ -53,6 +53,20 @@ class BatchResult(NamedTuple):
     n_matched: np.ndarray   # int32[B] = |L| per read
 
 
+class PendingBatch:
+    """Handle for an in-flight scored batch."""
+
+    def __init__(self, out):
+        self._out = out
+
+    def result(self) -> BatchResult:
+        if isinstance(self._out, BatchResult):
+            return self._out
+        te, ts, lwr, nm = self._out
+        return BatchResult(np.asarray(te), np.asarray(ts),
+                           np.asarray(lwr), np.asarray(nm))
+
+
 # ====================================================================== #
 # device kernels (jit)
 # ====================================================================== #
@@ -340,15 +354,23 @@ class PlacementEngine:
 
     # -------------------------------------------------------------- #
     def score(self, matrix: np.ndarray, lengths: np.ndarray) -> BatchResult:
+        return self.score_async(matrix, lengths).result()
+
+    def score_async(self, matrix: np.ndarray,
+                    lengths: np.ndarray) -> "PendingBatch":
+        """Dispatch scoring and start device->host copies without
+        blocking; call ``.result()`` on the returned handle.  Lets the
+        host pipeline several batches against the device (compute and
+        transfers overlap)."""
         B, L = matrix.shape
         if L < self.k:
             # no window fits: every read is unplaced
             K = min(self.keep_at_most, self.db.n_edge_slots)
-            return BatchResult(
+            return PendingBatch(BatchResult(
                 np.full((B, K), -1, np.int32),
                 np.full((B, K), -np.inf, np.float32),
                 np.zeros((B, K), np.float32),
-                np.zeros(B, np.int32))
+                np.zeros(B, np.int32)))
         codes = self.encode_batch(matrix)
         if self.table == "direct":
             rows = kmer_rows(jnp.asarray(codes), self.k,
@@ -362,10 +384,11 @@ class PlacementEngine:
             amb = self._expand_ambiguities(codes, matrix, lengths)
             if amb is not None:
                 acc = ambiguous_pass(self.D, self.scale, *amb, acc)
-        te, ts, lwr, nm = finalize(acc, jnp.asarray(lengths), self.thr,
-                                   self.k, self.keep_at_most)
-        return BatchResult(np.asarray(te), np.asarray(ts),
-                           np.asarray(lwr), np.asarray(nm))
+        out = finalize(acc, jnp.asarray(lengths), self.thr,
+                       self.k, self.keep_at_most)
+        for o in out:
+            o.copy_to_host_async()
+        return PendingBatch(out)
 
     # -------------------------------------------------------------- #
     def _expand_ambiguities(self, codes: np.ndarray, matrix: np.ndarray,

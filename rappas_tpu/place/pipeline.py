@@ -107,8 +107,8 @@ def place_queries(db: PhyloKmerDB, query_path, workdir,
             else:
                 JplaceWriter.add_duplicate(prev, header)
 
-    def handle_batch(meta, lens, mat):
-        res = engine.score(mat, lens)
+    def handle_batch(meta, pending):
+        res = pending.result()
         for i, (header, key, order) in enumerate(meta):
             counts["unique"] += 1
             pending = seen[key]
@@ -135,8 +135,15 @@ def place_queries(db: PhyloKmerDB, query_path, workdir,
                           f"{arr.labels[best]}\t"
                           f"{float(np.float32(res.top_scores[i][0]))}\n")
 
+    # keep a few batches in flight: device compute and both transfer
+    # directions overlap with the host-side jplace assembly
+    in_flight: list = []
     for meta, lens, mat in batcher.batches(unique_reads()):
-        handle_batch(meta, lens, mat)
+        in_flight.append((meta, engine.score_async(mat, lens)))
+        if len(in_flight) > 3:
+            handle_batch(*in_flight.pop(0))
+    for item in in_flight:
+        handle_batch(*item)
 
     if tsv:
         tsv.close()
