@@ -192,20 +192,22 @@ def _aa() -> Alphabet:
         "Z": (codes["E"], codes["Q"]),
         "J": (codes["I"], codes["L"]),
     }
-    # U->C (selenocysteine), O->L (pyrrolysine) folding is optional in the
-    # reference (--convertUO, AAStates.java:118-123); expose via synonyms and
-    # let the CLI toggle it by building a custom alphabet when disabled.
     return Alphabet(name="amino", letters=letters, ambiguities=amb,
-                    synonyms={"U": "C", "u": "C", "O": "L", "o": "L"})
+                    synonyms={})
 
 
 DNA = _dna()
 AA = _aa()
+#: with --convertUO: U (selenocysteine) -> C, O (pyrrolysine) -> L
+#: (AAStates.java:118-123); without the flag these characters are
+#: unsupported, like the reference
+AA_CONVERT_UO = dataclasses.replace(
+    AA, synonyms={"U": "C", "u": "C", "O": "L", "o": "L"})
 
 
-def get_alphabet(states: str) -> Alphabet:
+def get_alphabet(states: str, convert_uo: bool = False) -> Alphabet:
     if states in ("nucl", "dna", "DNA"):
         return DNA
     if states in ("amino", "aa", "AA", "protein"):
-        return AA
+        return AA_CONVERT_UO if convert_uo else AA
     raise ValueError(f"unknown states {states!r}")

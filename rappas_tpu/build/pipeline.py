@@ -73,6 +73,9 @@ class BuildConfig:
     #: force the exact sequential explorer even without gap jumps
     exact_explorer: bool = False
     db_filename: str | None = None
+    #: fold U->C and O->L in amino alignments (--convertUO,
+    #: AAStates.java:118-123)
+    convert_uo: bool = False
 
 
 def build_database(ref_align_path, ref_tree_path, workdir,
@@ -85,7 +88,7 @@ def build_database(ref_align_path, ref_tree_path, workdir,
     for d in (workdir, ext_dir, logs_dir):
         d.mkdir(parents=True, exist_ok=True)
 
-    alphabet = get_alphabet(config.states)
+    alphabet = get_alphabet(config.states, convert_uo=config.convert_uo)
     model = config.model or EvolModel.default(alphabet.name)
 
     # ---------------------------------------------------------------- #

@@ -142,7 +142,7 @@ def run_build(args, call_string: str) -> int:
         limit_to_1_jump=not args.do_n_jumps,
         gap_jump_threshold=args.gap_jumps_thresh,
         only_ar=args.aronly, only_ar_input=args.arinputonly,
-        db_filename=args.dbfilename)
+        db_filename=args.dbfilename, convert_uo=args.convertUO)
     db = build_database(args.refalign, args.reftree, args.workdir, cfg)
     if db is None:
         return 0
@@ -174,6 +174,9 @@ def run_placement(args, call_string: str) -> int:
               file=sys.stderr)
         return 2
     db = PhyloKmerDB.load(args.database)
+    if args.convertUO and db.alphabet.name == "amino":
+        from rappas_tpu.alphabet import get_alphabet
+        db.alphabet = get_alphabet("amino", convert_uo=True)
     _place_all(db, args, call_string)
     return 0
 

@@ -48,8 +48,13 @@ def test_aa_alphabet():
     assert AA.letters == "RHKDESTNQCGPAILMFWYV"
     assert AA.encode("R")[0] == 0
     assert AA.encode("V")[0] == 19
-    # U -> C, O -> L folding (AAStates.java:118-123)
-    assert AA.encode("U")[0] == AA.encode("C")[0]
+    # U -> C, O -> L folding only with --convertUO (AAStates.java:118-123)
+    from rappas_tpu.alphabet import get_alphabet
+    uo = get_alphabet("amino", convert_uo=True)
+    assert uo.encode("U")[0] == uo.encode("C")[0]
+    assert uo.encode("O")[0] == uo.encode("L")[0]
+    with pytest.raises(ValueError):
+        AA.encode("U")
     assert sorted(AA.ambiguity_codes("B").tolist()) == sorted(
         [AA.encode("D")[0], AA.encode("N")[0]])
     assert len(AA.ambiguity_codes("X")) == 20

@@ -92,6 +92,33 @@ def test_guppy_field_order(tiny_db, tmp_path, fixtures_dir):
                            "pendant_length"]
 
 
+def test_fastq_input(tiny_db, tmp_path, fixtures_dir):
+    reads = dict(__import__("rappas_tpu.seqio",
+                            fromlist=["read_fasta"]).read_fasta(
+        fixtures_dir / "tiny_reads.fasta"))
+    q = tmp_path / "reads.fastq"
+    with open(q, "w") as f:
+        for h, s in list(reads.items())[:5]:
+            f.write(f"@{h}\n{s}\n+\n{'I' * len(s)}\n")
+    out = place_queries(tiny_db, q, tmp_path)
+    j = json.loads(out.read_text())
+    assert len(j["placements"]) == 5
+
+
+def test_u16_pipeline_close_to_f32(tiny_db, tmp_path, fixtures_dir):
+    out32 = place_queries(tiny_db, fixtures_dir / "tiny_reads.fasta",
+                          tmp_path / "a")
+    out16 = place_queries(tiny_db, fixtures_dir / "tiny_reads.fasta",
+                          tmp_path / "b",
+                          PlacementConfig(precision="u16"))
+    j32 = json.loads(out32.read_text())
+    j16 = json.loads(out16.read_text())
+    assert len(j32["placements"]) == len(j16["placements"])
+    for p32, p16 in zip(j32["placements"], j16["placements"]):
+        assert p32["p"][0][0] == p16["p"][0][0]  # same best edge
+        assert abs(p32["p"][0][1] - p16["p"][0][1]) < 5e-3
+
+
 def test_notplaced_log(tiny_db, tmp_path, fixtures_dir):
     # a read of pure junk that can't match (all same base repeated: its
     # kmers may still exist; use impossible pattern instead -> reads
