@@ -73,6 +73,26 @@ def test_kmer_sharded_matches_single(db, dp, mp):
                            atol=1e-5)
 
 
+def test_shard_reads_and_merge(tmp_path):
+    from rappas_tpu.parallel.distributed import merge_jplace, shard_reads
+    reads = [(f"r{i}", "ACGT") for i in range(10)]
+    shards = [list(shard_reads(reads, p, 3)) for p in range(3)]
+    assert sum(len(s) for s in shards) == 10
+    assert {h for s in shards for h, _ in s} == {h for h, _ in reads}
+
+    import json
+    base = {"tree": "(A:1{0});", "fields": ["edge_num"], "version": 3,
+            "metadata": {}}
+    for i in range(2):
+        j = dict(base)
+        j["placements"] = [{"p": [[0]], "nm": [[f"r{i}", 1]]}]
+        (tmp_path / f"part{i}.jplace").write_text(json.dumps(j))
+    merge_jplace([tmp_path / "part0.jplace", tmp_path / "part1.jplace"],
+                 tmp_path / "merged.jplace")
+    m = json.loads((tmp_path / "merged.jplace").read_text())
+    assert len(m["placements"]) == 2
+
+
 def test_mesh_shapes():
     import jax
     mesh = make_mesh(dp=4, mp=2)
