@@ -121,6 +121,20 @@ def main():
     dt = time.time() - t0
 
     reads_per_s = chunks * STEPS * B / dt
+
+    # correctness spot-check: the timed path must agree with the serial
+    # reference-semantics oracle
+    from rappas_tpu.place import oracle
+    te, ts, nm = drain(run_chunk())
+    letters = np.frombuffer(b"ACGT", np.uint8)
+    for i in (0, 1, 17):
+        seq = letters[codes_np[i]].tobytes().decode()
+        rows_o, n_o = oracle.place_read(db, seq)
+        assert n_o == int(nm[i]), f"read {i}: |L| {n_o} vs {int(nm[i])}"
+        assert int(te[i, 0]) == rows_o[0][0] or \
+            abs(float(ts[i, 0]) - float(rows_o[0][1])) < 1e-4
+        assert abs(float(ts[i, 0]) - float(rows_o[0][1])) < 2e-4
+
     print(json.dumps({
         "metric": "reads_placed_per_sec_per_chip "
                   "(k=8, 300-edge DB, 150bp reads)",
