@@ -99,6 +99,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="device k-mer table layout (auto: direct-indexed "
                         "when S^k is small enough, else binary-search "
                         "compact table)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a JAX profiler trace of the placement "
+                        "into DIR (view with TensorBoard/Perfetto)")
     p.add_argument("--calibration", action="store_true",
                    help="calibrate a normalized-score lower bound from "
                         "random sequences at DB build (the reference's "
@@ -196,8 +199,18 @@ def _place_all(db, args, call_string: str) -> None:
         batch_size=args.batch_size,
         precision=args.precision, table=args.table,
         invocation=f"rappas-tpu {call_string}")
-    for q in args.queries.split(","):
-        place_queries(db, q, args.workdir, cfg)
+
+    def run_all():
+        for q in args.queries.split(","):
+            place_queries(db, q, args.workdir, cfg)
+
+    if args.profile:
+        import jax
+        with jax.profiler.trace(args.profile):
+            run_all()
+        log(f"profiler trace written to {args.profile}")
+    else:
+        run_all()
 
 
 if __name__ == "__main__":
