@@ -128,7 +128,7 @@ class ARLauncher:
                 "fix_blength = 2\n"
                 "method = 0\n")
         else:
-            dat = Path(self.binary).parent / m.paml_equivalent
+            dat = self._find_paml_dat(m.paml_equivalent)
             body = (
                 f"seqfile = {align}\n"
                 f"treefile = {tree}\n"
@@ -150,6 +150,26 @@ class ARLauncher:
                 "method = 0\n")
         ctl.write_text(body)
         return ctl
+
+    def _find_paml_dat(self, name: str) -> Path:
+        """Locate a PAML amino-acid rate-matrix file (lg.dat, wag.dat,
+        ...).  These ship with PAML itself; search the binary's
+        directory, ``$PAML_DATA``, and known dat locations."""
+        import os
+        candidates = [Path(self.binary).parent / name,
+                      Path(self.binary).parent / "dat" / name]
+        if os.environ.get("PAML_DATA"):
+            candidates.append(Path(os.environ["PAML_DATA"]) / name)
+        candidates += [
+            Path(__file__).parent / "paml_dat" / name,
+            Path("/root/reference/src/models") / name,
+        ]
+        for c in candidates:
+            if c.exists():
+                return c
+        raise FileNotFoundError(
+            f"PAML rate matrix {name!r} not found; set $PAML_DATA to the "
+            "directory holding PAML's .dat files")
 
     # -------------------------------------------------------------- #
     def launch(self, ar_dir, align, tree) -> None:

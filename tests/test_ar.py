@@ -111,6 +111,30 @@ def test_paml_parsing():
 
 
 @pytest.mark.slow
+def test_codeml_protein_end_to_end(tmp_path, fixtures_dir):
+    """Full amino pipeline: codeml AR -> AA phylo-kmers -> placement."""
+    from rappas_tpu.build.pipeline import BuildConfig, build_database
+    from rappas_tpu.place.engine import PlacementEngine
+    from rappas_tpu.place import oracle
+    from rappas_tpu.seqio import read_fasta
+    cfg = BuildConfig(k=4, states="amino",
+                      ar_binary="/root/reference/bindep/codeml")
+    db = build_database(fixtures_dir / "tiny_aa.fasta",
+                        fixtures_dir / "tiny_aa.tree", tmp_path, cfg)
+    assert db.alphabet.name == "amino"
+    assert db.n_kmers > 1000
+    engine = PlacementEngine(db, table="compact")
+    seqs = dict(read_fasta(fixtures_dir / "tiny_aa.fasta"))
+    read = seqs["P4"][30:70]
+    mat = np.frombuffer(read.encode(), np.uint8)[None, :].copy()
+    res = engine.score(mat, np.array([len(read)], np.int32))
+    rows, nm = oracle.place_read(db, read)
+    assert nm == res.n_matched[0]
+    assert int(res.top_edges[0][0]) == rows[0][0]
+    assert abs(float(res.top_scores[0][0]) - float(rows[0][1])) < 2e-4
+
+
+@pytest.mark.slow
 def test_baseml_end_to_end(tmp_path, fixtures_dir):
     from rappas_tpu.build.pipeline import BuildConfig, build_database
     cfg = BuildConfig(k=8, states="nucl",
