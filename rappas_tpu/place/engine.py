@@ -272,13 +272,13 @@ def ambiguous_pass(D: jax.Array, scale: jax.Array, alt_rows: jax.Array,
 # ====================================================================== #
 
 class PlacementEngine:
-    #: a direct-indexed table is used when S^k stays under this row
-    #: budget (4^13 = 67M rows of offsets is the practical DNA ceiling);
-    #: beyond it (protein mode, large k) the compact binary-search table
-    #: takes over -- the TPU analog of the reference's choice between
+    #: byte budget for the direct-indexed dense table; above it the
+    #: compact binary-search table takes over (protein mode, large k,
+    #: big trees) -- the TPU analog of the reference's choice between
     #: direct capacity 4^k/2 and hashed storage
-    #: (CustomHash_v4_FastUtil81.java:49-63).
-    DIRECT_ROW_LIMIT = 1 << 26
+    #: (CustomHash_v4_FastUtil81.java:49-63).  Half of a v5e's 16 GB HBM
+    #: by default, leaving room for batches and XLA scratch.
+    DIRECT_BYTE_LIMIT = 8 << 30
 
     def __init__(self, db: PhyloKmerDB, keep_at_most: int = 7,
                  treat_ambiguities: bool = True,
@@ -296,8 +296,12 @@ class PlacementEngine:
         self.precision = precision
         self.thr = jnp.float32(db.thr_log10)
         if table == "auto":
-            table = ("direct" if self.alphabet.n_states ** self.k
-                     <= self.DIRECT_ROW_LIMIT else "compact")
+            itemsize = 2 if precision == "u16" else 4
+            dense_bytes = (self.alphabet.n_states ** self.k *
+                           db.n_edge_slots * itemsize)
+            compact_bytes = (db.n_kmers + 1) * db.n_edge_slots * itemsize
+            table = ("direct" if dense_bytes <= max(
+                self.DIRECT_BYTE_LIMIT, 2 * compact_bytes) else "compact")
         self.table = table
         if (table == "compact" and
                 self.alphabet.n_states ** self.k > 2 ** 31 - 1 and

@@ -87,6 +87,57 @@ class JplaceWriter:
         self._orders.append(order)
         return placement
 
+    # ---------------------------------------------------------------- #
+    def precompute_batch(self, res) -> dict:
+        """Vectorised per-batch derivation of everything ``p`` rows need:
+        jplace edge ids, distal lengths, the keep-factor cut
+        (``PlacementProcess.java:996-1022``).  Returns arrays indexed per
+        read."""
+        edges = res.top_edges
+        valid = edges >= 0
+        safe = np.maximum(edges, 0)
+        jp = self._jplace_ids[safe]
+        distal = (self._branch_len[safe] / np.float32(2.0)).astype(
+            np.float32)
+        lwr = res.top_lwr
+        keep = valid.copy()
+        if keep.shape[1] > 1:
+            keep[:, 1:] &= lwr[:, 1:] >= (lwr[:, :1] * self.keep_factor)
+        keep = np.logical_and.accumulate(keep, axis=1)
+        n_keep = keep.sum(axis=1).astype(np.int32)
+        return {"jp": jp, "distal": distal, "scores": res.top_scores,
+                "lwr": lwr, "n_keep": n_keep}
+
+    def add_placement_packed(self, header: str, pre: dict, i: int,
+                             order: int) -> dict | None:
+        """Register one read from precomputed batch arrays; row
+        materialisation is deferred to :meth:`write`."""
+        n = int(pre["n_keep"][i])
+        if n == 0:
+            return None
+        if float(pre["scores"][i, 0]) < self.ns_bound:
+            return None
+        placement = {"packed": (pre, i, n), "nm": [[header, 1]]}
+        self.placements.append(placement)
+        self._orders.append(order)
+        return placement
+
+    def _rows_of(self, p: dict) -> list:
+        if "packed" not in p:
+            return p["p"]
+        pre, i, n = p["packed"]
+        out = []
+        for r in range(n):
+            edge_num = int(pre["jp"][i, r])
+            lk = float(np.float32(pre["scores"][i, r]))
+            w = float(pre["lwr"][i, r])
+            dl = float(pre["distal"][i, r])
+            if self.guppy:
+                out.append([dl, edge_num, w, lk, 0.0])
+            else:
+                out.append([edge_num, lk, w, dl, 0.0])
+        return out
+
     @staticmethod
     def add_duplicate(placement: dict, header: str) -> None:
         """Register an identical read on an existing placement
@@ -105,8 +156,9 @@ class JplaceWriter:
                       "distal_length", "pendant_length"]
         # batches complete out of read order; restore first-occurrence
         # order like the reference's serial loop
-        ordered = [p for _, p in sorted(zip(self._orders, self.placements),
-                                        key=lambda t: t[0])]
+        ordered = [{"p": self._rows_of(p), "nm": p["nm"]}
+                   for _, p in sorted(zip(self._orders, self.placements),
+                                      key=lambda t: t[0])]
         return {
             "tree": jplace_tree_string(self.tree),
             "placements": ordered,
@@ -143,7 +195,7 @@ class JplaceWriter:
                     "[" + ",".join(
                         repr(v) if isinstance(v, float) else str(v)
                         for v in row) + "]"
-                    for row in p["p"])
+                    for row in self._rows_of(p))
                 nm = ",".join(
                     f"[{json.dumps(h)},{m}]" for h, m in p["nm"])
                 f.write('{"p":[%s],"nm":[%s]}' % (rows, nm))

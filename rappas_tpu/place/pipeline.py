@@ -107,26 +107,25 @@ def place_queries(db: PhyloKmerDB, query_path, workdir,
             else:
                 JplaceWriter.add_duplicate(prev, header)
 
-    def handle_batch(meta, pending):
-        res = pending.result()
+    def handle_batch(meta, in_flight_batch):
+        res = in_flight_batch.result()
+        pre = writer.precompute_batch(res)
         for i, (header, key, order) in enumerate(meta):
             counts["unique"] += 1
-            pending = seen[key]
+            dups = seen[key]
             if res.n_matched[i] == 0:
                 notplaced.write(header + "\n")
                 counts["unplaced"] += 1
-                for dup_header in pending:
+                for dup_header in dups:
                     notplaced.write(dup_header + "\n")
                     counts["unplaced"] += 1
                 seen[key] = _UNPLACED
                 continue
-            placement = writer.add_placement(
-                header, res.top_edges[i], res.top_scores[i],
-                res.top_lwr[i], order=order)
+            placement = writer.add_placement_packed(header, pre, i, order)
             if placement is None:
                 seen[key] = _FILTERED
                 continue
-            for dup_header in pending:
+            for dup_header in dups:
                 JplaceWriter.add_duplicate(placement, dup_header)
             seen[key] = placement
             if tsv:

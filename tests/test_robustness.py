@@ -1,0 +1,65 @@
+"""Edge cases a real metagenomic stream throws at the pipeline."""
+
+import json
+
+import numpy as np
+import pytest
+
+from rappas_tpu.place.pipeline import PlacementConfig, place_queries
+from tests.test_engine import synthetic_db
+
+
+@pytest.fixture(scope="module")
+def db():
+    return synthetic_db(seed=6, k=5, n_edges=8, n_kmers=500)
+
+
+def place(db, tmp_path, text, name="q.fasta", **kw):
+    q = tmp_path / name
+    q.write_text(text)
+    out = place_queries(db, q, tmp_path, PlacementConfig(**kw))
+    return json.loads(out.read_text())
+
+
+def test_empty_query_file(db, tmp_path):
+    j = place(db, tmp_path, "")
+    assert j["placements"] == []
+    assert j["version"] == 3
+
+
+def test_all_ambiguous_read(db, tmp_path):
+    j = place(db, tmp_path, ">n\n" + "N" * 30 + "\n")
+    # every window exceeds maxAmbigPerMer -> skipped -> unplaced
+    assert j["placements"] == []
+    listed = (tmp_path / "logs" / "notplaced_q.fasta.tsv").read_text()
+    assert "n" in listed
+
+
+def test_crlf_and_multiline(db, tmp_path):
+    body = (">a desc here\r\nACGTA\r\nCGTACGT\r\n"
+            ">b\r\nACGTACGTAC\r\n")
+    j = place(db, tmp_path, body)
+    headers = [p["nm"][0][0] for p in j["placements"]]
+    # multi-line + CRLF sequences concatenate; full header preserved
+    assert "a desc here" in headers
+
+
+def test_lowercase_reads(db, tmp_path):
+    up = place(db, tmp_path, ">x\nACGTACGTACGTACG\n")
+    lo = place(db, tmp_path, ">x\nacgtacgtacgtacg\n", name="q2.fasta")
+    if up["placements"]:
+        assert up["placements"][0]["p"] == lo["placements"][0]["p"]
+
+
+def test_read_exactly_k(db, tmp_path):
+    j = place(db, tmp_path, ">x\nACGTA\n")  # length == k == 5 -> Q=1
+    # either placed on some edges or unplaced; must not crash and Q=1
+    for p in j["placements"]:
+        assert p["p"]
+
+
+def test_huge_header_and_unicode_safe(db, tmp_path):
+    h = "read|" + "x" * 500 + " tail"
+    j = place(db, tmp_path, f">{h}\nACGTACGTACGTACG\n")
+    if j["placements"]:
+        assert j["placements"][0]["nm"][0][0] == h
