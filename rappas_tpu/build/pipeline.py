@@ -237,39 +237,77 @@ def generate_kmers(ar: ARResults, extended, ext_align, original: Tree,
                 "python port", level=0)
 
     all_codes, all_edges, all_sums = [], [], []
-    t0 = time.time()
-    for count, node_id in enumerate(nodes):
-        ext_id = ar.ar_to_extended[node_id]
-        orig_id = extended.fake_to_original_id(ext_id)
-        P = ar.probas[node_id]
-        if use_exact:
-            states_sorted, pp_sorted = sort_probas_desc(P)
-            codes, sums = exact_fn(
-                states_sorted, pp_sorted, config.k, thr,
-                gap_intervals=gap_intervals, do_gap_jumps=gap_jumps,
-                limit_to_1_jump=config.limit_to_1_jump)
-        else:
-            codes, sums = explore_node(P, config.k, thr)
-        if codes.size:
-            all_codes.append(codes)
-            all_sums.append(sums)
-            all_edges.append(np.full(codes.shape[0], orig_id, np.int32))
-        if (count + 1) % max(1, len(nodes) // 10) == 0:
-            log(f"  node {count + 1}/{len(nodes)} "
-                f"({time.time() - t0:.1f}s)")
+    pending = 0
+    raw_total = 0
+    #: fold accumulated tuples into a deduped set when they exceed this
+    #: (bounds peak host memory for k>=12 builds; the reference instead
+    #: leans on GC + hash trimming at >80% heap, Main_DBBUILD_3.java:
+    #: 676-683)
+    merge_every = 150_000_000
 
-    if all_codes:
+    def fold():
+        nonlocal all_codes, all_edges, all_sums, pending
         codes = np.concatenate(all_codes)
         edges = np.concatenate(all_edges)
         sums = np.concatenate(all_sums)
-    else:
-        codes = np.zeros(0, np.int64)
-        edges = np.zeros(0, np.int32)
-        sums = np.zeros(0, np.float32)
+        order = np.lexsort((-sums, edges, codes))
+        c, e, s = codes[order], edges[order], sums[order]
+        first = np.ones(c.shape[0], bool)
+        first[1:] = (c[1:] != c[:-1]) | (e[1:] != e[:-1])
+        all_codes = [c[first]]
+        all_edges = [e[first]]
+        all_sums = [s[first]]
+        pending = all_codes[0].size
+
+    def explore_one(node_id: int):
+        P = ar.probas[node_id]
+        if use_exact:
+            states_sorted, pp_sorted = sort_probas_desc(P)
+            return exact_fn(
+                states_sorted, pp_sorted, config.k, thr,
+                gap_intervals=gap_intervals, do_gap_jumps=gap_jumps,
+                limit_to_1_jump=config.limit_to_1_jump)
+        return explore_node(P, config.k, thr)
+
+    import concurrent.futures as cf
+    import os
+    n_workers = min(8, os.cpu_count() or 1)
+
+    t0 = time.time()
+    pool = cf.ThreadPoolExecutor(n_workers)  # numpy/ctypes release the GIL
+    results = pool.map(explore_one, nodes, chunksize=4)
+    for count, (node_id, (codes, sums)) in enumerate(zip(nodes, results)):
+        ext_id = ar.ar_to_extended[node_id]
+        orig_id = extended.fake_to_original_id(ext_id)
+        raw_total += codes.size
+        if codes.size:
+            # per-node dedup: multiple start positions emit the same
+            # k-mer; keep the max (same edge for the whole node)
+            order = np.lexsort((-sums, codes))
+            c, s = codes[order], sums[order]
+            first = np.ones(c.shape[0], bool)
+            first[1:] = c[1:] != c[:-1]
+            c, s = c[first], s[first]
+            all_codes.append(c)
+            all_sums.append(s)
+            all_edges.append(np.full(c.shape[0], orig_id, np.int32))
+            pending += c.size
+        if pending > merge_every:
+            fold()
+        if (count + 1) % max(1, len(nodes) // 10) == 0:
+            log(f"  node {count + 1}/{len(nodes)} "
+                f"({time.time() - t0:.1f}s)")
+    pool.shutdown()
+
+    if not all_codes:
+        raise SystemExit("Something went wrong... hash is empty!")
+    codes = np.concatenate(all_codes)
+    edges = np.concatenate(all_edges)
+    sums = np.concatenate(all_sums)
     if codes.size == 0:
         raise SystemExit("Something went wrong... hash is empty!")
     keys, offsets, e, deltas = build_csr(codes, edges, sums, thr)
-    log(f"postings: {codes.size} raw tuples -> {e.size} after max-merge, "
+    log(f"postings: {raw_total} raw tuples -> {e.size} after max-merge, "
         f"{keys.size} kmers")
     return PhyloKmerDB(
         k=config.k, omega=config.omega, alphabet=alphabet,
