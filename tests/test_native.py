@@ -51,14 +51,21 @@ def test_native_empty_result():
 
 
 def test_native_speed_sanity():
-    """Native should chew a realistic node quickly."""
+    """Native should chew a realistic node quickly.
+
+    Generous bound: catches pathological slowness (e.g. an accidental
+    O(4^k) regression), not machine-load jitter.  A tiny warmup call
+    first so one-time .so compilation isn't timed.
+    """
     import time
     k = 8
-    P = random_logp(1500, 4, 1)
     thr = PhyloKmerDB.threshold(k, 1.5, 4)
+    st_w, pp_w = sort_probas_desc(random_logp(10, 4, 2))
+    native.explore_node_exact_native(st_w, pp_w, k, thr)  # warmup/build
+    P = random_logp(1500, 4, 1)
     st, pp = sort_probas_desc(P)
     t = time.time()
     c, s = native.explore_node_exact_native(st, pp, k, thr)
     dt = time.time() - t
-    assert dt < 2.0, f"native explorer too slow: {dt:.1f}s"
+    assert dt < 15.0, f"native explorer too slow: {dt:.1f}s"
     assert c.size > 0
