@@ -17,15 +17,37 @@ rng = np.random.default_rng(0)
 rows_np = rng.integers(0, N_ROWS, (B, Q)).astype(np.int32)
 
 
-def timeit(name, fn, *args, n=10):
+# Timing on the tunneled dev chip is subtle: block_until_ready returns
+# before execution finishes on this platform, while np.asarray of a full
+# output rides a ~30 MB/s link.  So: dispatch n executions (each call is
+# enqueued on the device), then synchronise by fetching a 4-byte scalar
+# derived from the last output; the one ~140 ms fetch overhead is
+# amortised over n and subtracted via the measured null-loop cost.
+_scalar = jax.jit(
+    lambda o: sum(x.ravel()[:1].astype(jnp.float32).sum()
+                  for x in jax.tree_util.tree_leaves(o)))
+
+_null_dt = None
+
+
+def _measure(fn, *args, n=30):
     out = fn(*args)
-    np.asarray(jax.tree_util.tree_leaves(out)[0])[:1]
+    np.float32(_scalar(out))  # warmup: compile + first-fetch handshake
     t0 = time.time()
     for _ in range(n):
         out = fn(*args)
-    np.asarray(jax.tree_util.tree_leaves(out)[0])[:1]
-    dt = (time.time() - t0) / n
-    print(f"{name:42s} {dt*1e3:8.2f} ms  {B/dt/1e6:8.2f} M reads/s")
+    np.float32(_scalar(out))
+    return (time.time() - t0) / n
+
+
+def timeit(name, fn, *args, n=30):
+    global _null_dt
+    if _null_dt is None:
+        ident = jax.jit(lambda x: x)
+        _null_dt = _measure(ident, jnp.zeros(8, jnp.float32), n=n)
+    dt = max(_measure(fn, *args, n=n) - _null_dt, 1e-9)
+    print(f"{name:42s} {dt*1e3:8.2f} ms  {B/dt/1e6:8.2f} M reads/s",
+          flush=True)
     return dt
 
 
