@@ -79,6 +79,25 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dbinram", action="store_true",
                    help="build then place without persisting the DB")
     p.add_argument("--convertUO", action="store_true")
+    # reference-compat flags accepted for drop-in CLI parity; behavior
+    # documented per flag (ArgumentsParser_v2.java:407-420,421-424,471-474)
+    p.add_argument("--extree", default=None, metavar="DIR",
+                   help="accepted for reference compatibility: the "
+                        "reference reloads a JVM-serialized extended tree "
+                        "from DIR; here the extended tree is rebuilt "
+                        "deterministically (use --ardir to skip the AR "
+                        "run itself)")
+    p.add_argument("--dbfull", action="store_true",
+                   help="accepted for reference compatibility: the "
+                        "reference additionally writes 'medium'/'small' "
+                        "reduced DB copies; the union .rptpu DB is "
+                        "already complete, so this is a no-op")
+    p.add_argument("--poshash", action="store_true",
+                   help="accepted for reference compatibility: positional "
+                        "(per-ref-position) postings; the reference's "
+                        "live hash deprecated this mode to a no-op "
+                        "(CustomHash_v4_FastUtil81.java:219-241), union "
+                        "mode is always used")
     # placement parameters
     p.add_argument("--keep-at-most", type=int, default=7)
     p.add_argument("--keep-factor", type=float, default=0.01)
@@ -114,6 +133,18 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     set_verbosity(args.verbosity)
     call_string = " ".join(argv if argv is not None else sys.argv[1:])
+
+    if args.extree:
+        log("--extree accepted for compatibility: the extended tree is "
+            "rebuilt deterministically here (combine with --ardir to "
+            "reuse AR outputs)")
+    if args.dbfull:
+        log("--dbfull accepted for compatibility: the union .rptpu DB "
+            "is already complete (no-op)")
+    if args.poshash:
+        log("--poshash accepted for compatibility: positional mode is a "
+            "deprecated no-op in the reference's live hash; union mode "
+            "is used")
 
     if args.phase == "b":
         return run_build(args, call_string)

@@ -74,3 +74,15 @@ def test_dbinram(tmp_path, fixtures_dir):
     assert rc == 0
     assert (tmp_path /
             "placements_tiny_reads.fasta.jplace").exists()
+
+
+def test_reference_compat_flags_accepted(tmp_path, fixtures_dir):
+    """--extree/--dbfull/--poshash parse and don't change behavior
+    (reference compat: ArgumentsParser_v2.java:407-424,471-474)."""
+    rc = main(["-p", "b", "-b", PHYML,
+               "-r", str(fixtures_dir / "tiny.fasta"),
+               "-t", str(fixtures_dir / "tiny.tree"),
+               "-w", str(tmp_path), "--arinputonly",
+               "--extree", str(tmp_path), "--dbfull", "--poshash"])
+    assert rc == 0
+    assert (tmp_path / "AR" / "ar_command.txt").exists()
