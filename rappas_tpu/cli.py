@@ -113,11 +113,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="device score-table precision: f32 = strict "
                         "reference parity, u16 = fixed-point (2x faster, "
                         "error at f32-rounding scale)")
-    p.add_argument("--table", choices=["auto", "direct", "compact"],
+    p.add_argument("--table",
+                   choices=["auto", "direct", "compact", "postings"],
                    default="auto",
                    help="device k-mer table layout (auto: direct-indexed "
                         "when S^k is small enough, else binary-search "
-                        "compact table)")
+                        "compact table, else light/heavy postings for "
+                        "the large-tree regime)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a JAX profiler trace of the placement "
                         "into DIR (view with TensorBoard/Perfetto)")

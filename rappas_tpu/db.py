@@ -30,6 +30,7 @@ from __future__ import annotations
 import dataclasses
 import io
 import json
+import typing
 import zlib
 from pathlib import Path
 
@@ -232,6 +233,76 @@ class PhyloKmerDB:
         rows = np.repeat(np.arange(self.n_kmers), np.diff(self.offsets))
         return (self._matrix(self.n_kmers + pad_rows, rows, np.uint16,
                              scale), scale)
+
+    def postings_tables(self, width: int = 8) -> "PostingsTables":
+        """Light/heavy split postings layout for large-tree DBs.
+
+        The dense layouts above cost ``n_rows * E`` floats -- ruinous
+        when the tree is large (E ~ 2 * n_taxa score slots) but posting
+        lists are short.  Here k-mers with <= ``width`` postings (the
+        "light" ones, typically the vast majority on big sparse DBs) are
+        stored as fixed-width ``[n_light + 1, width]`` edge/delta tables
+        costing 8 bytes per posting slot; the few k-mers with longer
+        lists ("heavy", conserved k-mers hitting many edges) go to a
+        small dense matrix ``[n_heavy + 1, E]``.  Both tables carry a
+        trailing all-zero miss row.  Pad slots in the light tables are
+        (edge 0, delta 0.0): a zero delta contributes nothing to any
+        segment sum and never marks an edge as matched, so pads are
+        harmless regardless of whether node id 0 exists (the root is
+        never a posting edge -- postings store *son* node ids,
+        ``WordExplorer_v3.java:88-89``).
+        """
+        lens = np.diff(self.offsets)
+        light = lens <= width
+        heavy = ~light
+        nl = int(light.sum())
+        nh = int(heavy.sum())
+        E = self.n_edge_slots
+
+        def flat_gather(idx):
+            """(row, col, src) triples covering the posting slices of
+            the selected k-mers, fully vectorized."""
+            ln = lens[idx]
+            total = int(ln.sum())
+            row = np.repeat(np.arange(idx.shape[0]), ln)
+            col = np.arange(total) - np.repeat(np.cumsum(ln) - ln, ln)
+            src = np.repeat(self.offsets[idx], ln) + col
+            return row, col, src
+
+        light_keys = self.keys[light]
+        light_edges = np.zeros((nl + 1, width), np.int32)
+        light_deltas = np.zeros((nl + 1, width), np.float32)
+        row, col, src = flat_gather(np.flatnonzero(light))
+        light_edges[row, col] = self.edges[src]
+        light_deltas[row, col] = self.deltas[src]
+
+        heavy_keys = self.keys[heavy]
+        heavy_dense = np.zeros((nh + 1, E), np.float32)
+        row, _, src = flat_gather(np.flatnonzero(heavy))
+        heavy_dense[row, self.edges[src]] = self.deltas[src]
+
+        return PostingsTables(width=width,
+                              light_keys=light_keys,
+                              light_edges=light_edges,
+                              light_deltas=light_deltas,
+                              heavy_keys=heavy_keys,
+                              heavy_dense=heavy_dense)
+
+
+class PostingsTables(typing.NamedTuple):
+    """Device layout produced by :meth:`PhyloKmerDB.postings_tables`."""
+    width: int
+    light_keys: np.ndarray    # int64[nl] sorted
+    light_edges: np.ndarray   # int32[nl+1, width], last row zeros (miss)
+    light_deltas: np.ndarray  # f32[nl+1, width]
+    heavy_keys: np.ndarray    # int64[nh] sorted
+    heavy_dense: np.ndarray   # f32[nh+1, E], last row zeros (miss)
+
+    @property
+    def nbytes(self) -> int:
+        return (self.light_edges.nbytes + self.light_deltas.nbytes +
+                self.heavy_dense.nbytes + self.light_keys.nbytes +
+                self.heavy_keys.nbytes)
 
 
 def build_csr(codes: np.ndarray, edges: np.ndarray,

@@ -28,6 +28,18 @@ Design notes (TPU):
 * k-mer indices are computed on device from int8 base codes (k shifted
   adds), so the host ships 1 byte/base;
 * batch and length are bucketed so XLA compiles a handful of shapes.
+
+Three device table layouts (auto-selected by byte budget):
+* ``direct``  -- ``D[S^k + 1, E]``, row index == k-mer index (DNA,
+  small k): no lookup at all;
+* ``compact`` -- ``D[n_kmers + 1, E]`` + binary search over the sorted
+  key array (protein mode, large k);
+* ``postings`` -- large-tree regime (``E`` in the thousands, BASELINE
+  configs 3/5) where any dense-over-edges row is too wide: k-mers with
+  <= P postings live in fixed-width ``[n_light+1, P]`` edge/delta
+  tables scored by sort + segment-sum (:func:`finalize_postings`);
+  the heavy tail (conserved k-mers hitting many edges) stays dense.
+  Gather traffic drops from ~Q*E*4 to ~Q*P*8 bytes per read.
 """
 
 from __future__ import annotations
@@ -186,6 +198,8 @@ def compact_rows(keys: jax.Array, idx: jax.Array) -> jax.Array:
     invalid queries map to the all-zero last row.
     """
     n = keys.shape[0]
+    if n == 0:  # static: everything misses the (single pad row) table
+        return jnp.zeros(idx.shape, jnp.int32)
     pos = jnp.searchsorted(keys, idx)
     hit = (pos < n) & (keys[jnp.clip(pos, 0, n - 1)] == idx) & (idx >= 0)
     return jnp.where(hit, pos, n).astype(jnp.int32)
@@ -236,15 +250,163 @@ def finalize(acc: jax.Array, lengths: jax.Array, thr: jax.Array,
 
 
 @jax.jit
-def ambiguous_pass(D: jax.Array, scale: jax.Array, alt_rows: jax.Array,
-                   alt_win: jax.Array, win_read: jax.Array,
-                   win_inv_w: jax.Array, win_is_mean: jax.Array,
-                   acc: jax.Array) -> jax.Array:
-    """Add ambiguous-window contributions into ``acc``.
+def gather_rows(H: jax.Array, rows: jax.Array) -> jax.Array:
+    """Plain row gather (fast path: wide contiguous rows)."""
+    return H[rows]
 
-    alt_rows  int32[n_alt]: D row per alternative k-mer (miss row = pad)
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "keep_at_most", "lowrank"))
+def finalize_postings(light_pairs: jax.Array, lrows: jax.Array,
+                      dense_rows: jax.Array, dense_reads: jax.Array,
+                      lengths: jax.Array, thr: jax.Array,
+                      k: int, keep_at_most: int, lowrank: bool = True):
+    """Postings-mode scoring: sort-based segment sums over the gathered
+    light postings, combined exactly with the batch's dense row sources
+    (heavy k-mer hit rows + ambiguity window contributions), then top-k
+    + LWR.
+
+    ``light_pairs[r]`` holds a k-mer's postings as ``[2P]`` int32: P
+    edge ids then P bit-cast f32 deltas (one gather fetches both).  Per
+    read the postings of its Q k-mers are sorted by edge (``lax.sort``
+    with the delta as payload) and summed per edge with the
+    cumsum-at-segment-ends trick.
+
+    The dense side arrives as actual (row vector, read) pairs --
+    ``dense_rows[i]`` is an ``[E]`` delta vector belonging to read
+    ``dense_reads[i]`` (pads: zero vector, any read).  ``dense_acc`` is
+    their per-read scatter-sum.  An edge's total score delta is
+    ``light_sum(e) + dense_acc[e]``; the exact global top-k is found in
+    the union of (a) the top-k light segment ends scored by that total
+    and (b) the top-k of ``dense_acc`` alone: any edge outside both
+    lists is dominated by k better edges in its own list.  An edge with
+    both contributions appears in (a) exactly and in (b) as a strict
+    underestimate (stored deltas are > 0), so after sorting candidates
+    by score, later duplicates are masked out.
+
+    ``lowrank`` picks how the dense values at the light segment ends
+    are produced: per dense *source* (cost ~ n_sources * J scalar
+    gathers -- right when hits are rare) vs per read from ``dense_acc``
+    (cost B * J; right when most reads have dense content).  Scalar
+    gathers measured ~13 ns each on v5e regardless of formulation, so
+    this choice is pure count reduction.
+
+    Semantics identical to :func:`finalize` over the implied dense
+    accumulator (``PlacementProcess.java:726-764,384-451``): matched
+    edges have total delta > 0, scores are ``Q*thr + delta_total``, LWR
+    uses the always-applied max shift.
+
+    Precision note: per-read segment sums ride one running cumsum, so a
+    segment's sum carries absolute error ~ulp(row running total) --
+    about 1e-4 log10 units at default scales, the same order as the
+    tolerance used for reference parity.  Edges whose entire delta sum
+    is below that may drop from the candidate list; the dense modes
+    keep per-edge accumulators and don't share this caveat.
+    """
+    B, Q = lrows.shape
+    P = light_pairs.shape[1] // 2
+    E = dense_rows.shape[1]
+    K = min(keep_at_most, E)
+
+    dense_acc = jnp.zeros((B, E), jnp.float32).at[dense_reads].add(
+        dense_rows)
+
+    g = light_pairs[lrows]                       # [B, Q, 2P] one gather
+    e = g[:, :, :P].reshape(B, Q * P)
+    d = jax.lax.bitcast_convert_type(
+        g[:, :, P:], jnp.float32).reshape(B, Q * P)
+    e_s, d_s = jax.lax.sort((e, d), num_keys=1)
+    cs = jnp.cumsum(d_s, axis=1)
+    nxt = jnp.concatenate(
+        [e_s[:, 1:], jnp.full((B, 1), -1, e_s.dtype)], axis=1)
+    is_end = e_s != nxt
+    is_start = jnp.concatenate(
+        [jnp.ones((B, 1), bool), e_s[:, 1:] != e_s[:, :-1]], axis=1)
+    prev_cs = jnp.concatenate(
+        [jnp.zeros((B, 1), cs.dtype), cs[:, :-1]], axis=1)
+    start_cs = jax.lax.cummax(
+        jnp.where(is_start, prev_cs, -jnp.inf), axis=1)
+    seg = cs - start_cs                      # light per-edge sum at ends
+    light_valid = is_end & (seg > 0)
+
+    if lowrank:
+        # dense values at the light edges, per dense source:
+        # vals[i, j] = dense_rows[i, e_s[read_i, j]]
+        e_sel = e_s[dense_reads]                         # [n_pad, J]
+        vals = jnp.take_along_axis(dense_rows, e_sel, axis=1)
+        dense_at = jnp.zeros(e_s.shape, jnp.float32).at[
+            dense_reads].add(vals)
+    else:
+        dense_at = jnp.take_along_axis(dense_acc, e_s, axis=1)
+    light_total = seg + dense_at
+    l_scores, li = jax.lax.top_k(
+        jnp.where(light_valid, light_total, -jnp.inf), K)
+    l_edges = jnp.take_along_axis(e_s, li, axis=1)
+
+    h_scores, h_edges = jax.lax.top_k(
+        jnp.where(dense_acc > 0, dense_acc, -jnp.inf), K)
+
+    cedge = jnp.concatenate([l_edges, h_edges.astype(l_edges.dtype)], 1)
+    cscore = jnp.concatenate([l_scores, h_scores], 1)
+    order = jnp.argsort(-cscore, axis=1)
+    cedge = jnp.take_along_axis(cedge, order, axis=1)
+    cscore = jnp.take_along_axis(cscore, order, axis=1)
+    M = cedge.shape[1]
+    # isdup[b, j] = some i < j has the same edge (i indexes axis 1)
+    earlier = jnp.triu(jnp.ones((M, M), bool), 1)
+    isdup = ((cedge[:, :, None] == cedge[:, None, :]) &
+             earlier[None, :, :]).any(axis=1)
+    cscore = jnp.where(isdup, -jnp.inf, cscore)
+    top_acc, ti = jax.lax.top_k(cscore, K)
+    top_edge = jnp.take_along_axis(cedge, ti, axis=1)
+
+    n_dense = (dense_acc > 0).sum(axis=1)
+    light_only = light_valid & (dense_at <= 0)
+    n_matched = (n_dense + light_only.sum(axis=1)).astype(jnp.int32)
+
+    Qf = (lengths - (k - 1)).astype(jnp.float32)
+    valid = jnp.isfinite(top_acc)
+    top_scores = jnp.where(valid, Qf[:, None] * thr + top_acc, -jnp.inf)
+    shift = top_scores[:, :1]
+    w = jnp.where(valid, jnp.exp2((top_scores - shift) *
+                                  np.float32(np.log2(10.0))), 0.0)
+    lwr = w / jnp.maximum(w.sum(axis=1, keepdims=True), 1e-30)
+    top_edges = jnp.where(valid, top_edge, -1).astype(jnp.int32)
+    return top_edges, top_scores, lwr, n_matched
+
+
+@jax.jit
+def alt_delta_rows(D: jax.Array, scale: jax.Array,
+                   alt_rows: jax.Array) -> jax.Array:
+    """[n_alt, E] f32 delta rows for ambiguity alternatives (dense and
+    compact table modes): a plain row gather."""
+    return D[alt_rows].astype(jnp.float32) * scale
+
+
+@jax.jit
+def alt_delta_rows_postings(light_pairs: jax.Array,
+                            heavy_dense: jax.Array, alt_lrows: jax.Array,
+                            alt_hrows: jax.Array) -> jax.Array:
+    """[n_alt, E] f32 delta rows for ambiguity alternatives in postings
+    mode: the heavy dense row plus the scattered light postings (misses
+    hit the all-zero trailing rows; light pad slots add 0 to edge 0)."""
+    dense = heavy_dense[alt_hrows]                    # [n_alt, E]
+    g = light_pairs[alt_lrows]                        # [n_alt, 2P]
+    P = g.shape[1] // 2
+    e = g[:, :P]
+    d = jax.lax.bitcast_convert_type(g[:, P:], jnp.float32)
+    n_alt = e.shape[0]
+    return dense.at[jnp.arange(n_alt)[:, None], e].add(d)
+
+
+@jax.jit
+def ambiguous_contrib(rows: jax.Array, alt_win: jax.Array,
+                      win_inv_w: jax.Array,
+                      win_is_mean: jax.Array) -> jax.Array:
+    """[n_win, E] per-window score contributions.
+
+    rows      f32[n_alt, E]: delta row per alternative k-mer (zeros = miss)
     alt_win   int32[n_alt]: window id per alternative
-    win_read  int32[n_win]: read index per window
     win_inv_w f32[n_win]:   1 / W_size per window
     win_is_mean bool[n_win]: mean mode (True) or max mode
 
@@ -256,15 +418,23 @@ def ambiguous_pass(D: jax.Array, scale: jax.Array, alt_rows: jax.Array,
     Max (``treatAmbiguitiesWithMax``, ``:1185-1236``):
     ``contrib = max_alt delta`` (0 if nothing matched).
     """
-    n_win = win_read.shape[0]
-    rows = D[alt_rows].astype(jnp.float32) * scale   # [n_alt, E] deltas
+    n_win = win_is_mean.shape[0]
     ten = jnp.exp2(rows * np.float32(np.log2(10.0)))
     sums = jax.ops.segment_sum(ten, alt_win, num_segments=n_win)
     maxs = jax.ops.segment_max(rows, alt_win, num_segments=n_win)
     mean_contrib = jnp.log2(jnp.maximum(
         sums * win_inv_w[:, None], 1e-30)) * np.float32(1.0 / np.log2(10.0))
     contrib = jnp.where(win_is_mean[:, None], mean_contrib, maxs)
-    contrib = jnp.maximum(contrib, 0.0)
+    return jnp.maximum(contrib, 0.0)
+
+
+@jax.jit
+def ambiguous_pass(rows: jax.Array,
+                   alt_win: jax.Array, win_read: jax.Array,
+                   win_inv_w: jax.Array, win_is_mean: jax.Array,
+                   acc: jax.Array) -> jax.Array:
+    """Add ambiguous-window contributions into ``acc`` (dense modes)."""
+    contrib = ambiguous_contrib(rows, alt_win, win_inv_w, win_is_mean)
     return acc + jax.ops.segment_sum(contrib, win_read,
                                      num_segments=acc.shape[0])
 
@@ -281,12 +451,15 @@ class PlacementEngine:
     #: (CustomHash_v4_FastUtil81.java:49-63).  Half of a v5e's 16 GB HBM
     #: by default, leaving room for batches and XLA scratch.
     DIRECT_BYTE_LIMIT = 8 << 30
+    #: byte budget for the postings mode's direct k-mer -> row index
+    #: table (int32[S^k + 1]); above it, binary search over sorted keys
+    DIRECT_INDEX_LIMIT = 1 << 30
 
     def __init__(self, db: PhyloKmerDB, keep_at_most: int = 7,
                  treat_ambiguities: bool = True,
                  ambiguities_with_max: bool = False,
                  device=None, precision: str = "f32",
-                 table: str = "auto"):
+                 table: str = "auto", postings_width: int = 8):
         from rappas_tpu.utils import enable_compile_cache
         enable_compile_cache()
         self.db = db
@@ -302,10 +475,17 @@ class PlacementEngine:
             dense_bytes = (self.alphabet.n_states ** self.k *
                            db.n_edge_slots * itemsize)
             compact_bytes = (db.n_kmers + 1) * db.n_edge_slots * itemsize
-            table = ("direct" if dense_bytes <= max(
-                self.DIRECT_BYTE_LIMIT, 2 * compact_bytes) else "compact")
+            if dense_bytes <= max(self.DIRECT_BYTE_LIMIT,
+                                  2 * compact_bytes):
+                table = "direct"
+            elif compact_bytes <= self.DIRECT_BYTE_LIMIT:
+                table = "compact"
+            else:
+                # large-tree regime: even one row per present k-mer is
+                # too wide; switch to the light/heavy postings layout
+                table = "postings"
         self.table = table
-        if (table == "compact" and
+        if (table in ("compact", "postings") and
                 self.alphabet.n_states ** self.k > 2 ** 31 - 1 and
                 not jax.config.read("jax_enable_x64")):
             # k-mer indices need >31 bits (e.g. amino k=8: 20^8); jax
@@ -330,9 +510,48 @@ class PlacementEngine:
             if self.alphabet.n_states ** self.k <= 2 ** 31 - 1:
                 keys = keys.astype(np.int32)
             self.keys_dev = jax.device_put(keys, device)
+        elif table == "postings":
+            if precision == "u16":
+                raise ValueError(
+                    "postings table mode is f32-only (the sort payload "
+                    "carries exact deltas); use precision='f32'")
+            pt = db.postings_tables(postings_width)
+            key_dtype = (np.int32 if self.alphabet.n_states ** self.k
+                         <= 2 ** 31 - 1 else np.int64)
+            self._light_keys_np = pt.light_keys
+            self._heavy_keys_np = pt.heavy_keys
+            nl, nh = pt.light_keys.shape[0], pt.heavy_keys.shape[0]
+            self._nl = nl
+            # one fused table: P edge ids then P bit-cast f32 deltas,
+            # fetched with a single row gather (row-gather count, not
+            # bytes, limits the light pass: ~7 ns per row on v5e)
+            pairs = np.concatenate(
+                [pt.light_edges, pt.light_deltas.view(np.int32)], axis=1)
+            self.light_pairs = jax.device_put(pairs, device)
+            space = self.alphabet.n_states ** self.k
+            if space * 4 <= self.DIRECT_INDEX_LIMIT:
+                # direct k-mer -> row table: one scalar gather replaces
+                # the 21-round binary search (4 ms vs 90 ms measured at
+                # k=12, 2M keys).  Encoding: r < nl light row, nl miss,
+                # nl+1+h heavy row h; slot `space` = miss target for
+                # invalid windows.
+                rof = np.full(space + 1, nl, np.int32)
+                rof[pt.light_keys] = np.arange(nl, dtype=np.int32)
+                rof[pt.heavy_keys] = nl + 1 + np.arange(nh,
+                                                        dtype=np.int32)
+                self._rof_np = rof
+                self.rof_dev = jax.device_put(rof, device)
+                self.light_keys_dev = None
+            else:
+                self._rof_np = None
+                self.rof_dev = None
+                self.light_keys_dev = jax.device_put(
+                    pt.light_keys.astype(key_dtype), device)
+            dense, scale = pt.heavy_dense, np.float32(1)
+            self.keys_dev = None
         else:
-            raise ValueError(f"table must be auto/direct/compact, got "
-                             f"{table!r}")
+            raise ValueError(f"table must be auto/direct/compact/"
+                             f"postings, got {table!r}")
         self.scale = jnp.float32(scale)
         self.n_rows = dense.shape[0]
         self.D = jax.device_put(dense, device)
@@ -378,20 +597,68 @@ class PlacementEngine:
                 np.zeros((B, K), np.float32),
                 np.zeros(B, np.int32)))
         codes = self.encode_batch(matrix)
-        if self.table == "direct":
-            rows = kmer_rows(jnp.asarray(codes), self.k,
-                             self.alphabet.n_states, self.n_rows)
-        else:
-            idx = kmer_indices64(jnp.asarray(codes), self.k,
-                                 self.alphabet.n_states)
-            rows = compact_rows(self.keys_dev, idx)
-        acc = accumulate(self.D, rows) * self.scale
-        if self.treat_ambiguities:
-            amb = self._expand_ambiguities(codes, matrix, lengths)
+        amb = (self._expand_ambiguities(codes, matrix, lengths)
+               if self.treat_ambiguities else None)
+        if self.table == "postings":
+            codes_dev = jnp.asarray(codes)
+            S = self.alphabet.n_states
+            if self.rof_dev is not None:
+                kidx32 = kmer_rows(codes_dev, self.k, S, S ** self.k + 1)
+                lrows = jnp.minimum(gather_rows(self.rof_dev, kidx32),
+                                    self._nl)
+            else:
+                idx = kmer_indices64(codes_dev, self.k, S)
+                lrows = compact_rows(self.light_keys_dev, idx)
+            # dense row sources: heavy k-mer hits + ambiguity windows
+            sources = []
+            hh = self._heavy_hits(codes, lengths)
+            if hh is not None:
+                sources.append((gather_rows(self.D, hh[0]), hh[1]))
             if amb is not None:
-                acc = ambiguous_pass(self.D, self.scale, *amb, acc)
-        out = finalize(acc, jnp.asarray(lengths), self.thr,
-                       self.k, self.keep_at_most)
+                rows_spec, alt_win, win_read, win_inv_w, is_mean = amb
+                rows_f = alt_delta_rows_postings(
+                    self.light_pairs, self.D, *rows_spec)
+                sources.append((ambiguous_contrib(rows_f, alt_win,
+                                                  win_inv_w, is_mean),
+                                win_read))
+            E = self.D.shape[1]
+            if sources:
+                dense_rows = (sources[0][0] if len(sources) == 1 else
+                              jnp.concatenate([s[0] for s in sources], 0))
+                dense_reads = (sources[0][1] if len(sources) == 1 else
+                               jnp.concatenate([s[1] for s in sources],
+                                               0))
+            else:
+                dense_rows = jnp.zeros((1, E), jnp.float32)
+                dense_reads = jnp.zeros(1, jnp.int32)
+            if self.light_pairs.shape[1] == 0:
+                # degenerate width-0 split: everything is heavy-dense
+                dense_acc = jnp.zeros((B, E), jnp.float32).at[
+                    dense_reads].add(dense_rows)
+                out = finalize(dense_acc, jnp.asarray(lengths), self.thr,
+                               self.k, self.keep_at_most)
+            else:
+                # dense-at-light-edges gather: per source when sources
+                # are rare, per read otherwise (pure count minimisation)
+                lowrank = dense_rows.shape[0] <= B // 2
+                out = finalize_postings(self.light_pairs, lrows,
+                                        dense_rows, dense_reads,
+                                        jnp.asarray(lengths), self.thr,
+                                        self.k, self.keep_at_most,
+                                        lowrank)
+        else:
+            if self.table == "direct":
+                rows = kmer_rows(jnp.asarray(codes), self.k,
+                                 self.alphabet.n_states, self.n_rows)
+            else:
+                idx = kmer_indices64(jnp.asarray(codes), self.k,
+                                     self.alphabet.n_states)
+                rows = compact_rows(self.keys_dev, idx)
+            acc = accumulate(self.D, rows) * self.scale
+            if amb is not None:
+                acc = self._apply_ambiguities(amb, acc)
+            out = finalize(acc, jnp.asarray(lengths), self.thr,
+                           self.k, self.keep_at_most)
         for o in out:
             o.copy_to_host_async()
         return PendingBatch(out)
@@ -439,22 +706,100 @@ class PlacementEngine:
                 for p, al in zip(amb_pos, alts):
                     variants[:, p] = np.asarray(al)[
                         np.arange(W) % len(al)]
-                kidx = variants @ weights
-                if self.table == "compact":
-                    nk = self.db.n_kmers
-                    pos = np.searchsorted(self.db.keys, kidx)
-                    hit = (pos < nk) & (self.db.keys[
-                        np.clip(pos, 0, nk - 1)] == kidx)
-                    kidx = np.where(hit, pos, nk)
-                alt_rows.append(kidx)
+                alt_rows.append(variants @ weights)
                 alt_win.append(np.full(W, n_win, np.int32))
                 win_read.append(b)
                 win_inv_w.append(1.0 / W)
                 n_win += 1
         if n_win == 0:
             return None
-        return (jnp.asarray(np.concatenate(alt_rows).astype(np.int32)),
+        kidx = np.concatenate(alt_rows)          # raw k-mer indices
+        return (self._map_alt_rows(kidx),
                 jnp.asarray(np.concatenate(alt_win)),
                 jnp.asarray(np.array(win_read, np.int32)),
                 jnp.asarray(np.array(win_inv_w, np.float32)),
                 jnp.full(n_win, is_mean, bool))
+
+    def _host_kmer_indices(self, codes: np.ndarray,
+                           lengths: np.ndarray) -> np.ndarray:
+        """[B, Q] k-mer indices on host (-1 = window contains
+        ambiguity/padding) -- numpy mirror of :func:`kmer_indices64`.
+        int32 when the index space fits (2.4x faster host pass)."""
+        B, L = codes.shape
+        k, S = self.k, self.alphabet.n_states
+        Q = L - k + 1
+        dtype = (np.int32 if S ** k <= 2 ** 31 - 1 else np.int64)
+        idx = np.zeros((B, Q), dtype)
+        amb = np.zeros((B, Q), bool)
+        for i in range(k):
+            w = codes[:, i:i + Q]
+            amb |= w < 0
+            idx *= S
+            idx += np.maximum(w, 0).astype(dtype)
+        amb |= np.arange(Q)[None, :] > (lengths[:, None] - k)
+        return np.where(amb, dtype(-1), idx)
+
+    def _heavy_hits(self, codes: np.ndarray, lengths: np.ndarray):
+        """Compact the batch's heavy-k-mer hits on host.
+
+        Heavy keys are few, so the searchsorted over [B, Q] indices is
+        cheap, and hits are rare -- shipping only the actual (row, read)
+        pairs (padded to a power-of-two bucket, sorted by read) keeps
+        the device heavy pass proportional to real hits instead of to
+        B*Q pad-row gathers.  Pads point at the zero row / last read.
+        Returns (rows int32[n_pad], reads int32[n_pad]) or None.
+        """
+        hk = self._heavy_keys_np
+        nh = hk.shape[0]
+        if nh == 0:
+            return None
+        kidx = self._host_kmer_indices(codes, lengths)
+        if self._rof_np is not None:
+            space = self.alphabet.n_states ** self.k
+            rof = self._rof_np[np.where(kidx >= 0, kidx, space)]
+            hit = rof > self._nl
+            hrows_all = rof - (self._nl + 1)
+        else:
+            pos = np.searchsorted(hk, kidx)
+            hrows_all = np.minimum(pos, nh - 1)
+            hit = (kidx >= 0) & (pos < nh) & (hk[hrows_all] == kidx)
+        b_ids, q_ids = np.nonzero(hit)
+        n = b_ids.shape[0]
+        if n == 0:
+            return None
+        n_pad = max(256, 1 << int(np.ceil(np.log2(n))))
+        rows = np.full(n_pad, nh, np.int32)        # pad -> zero row
+        reads = np.full(n_pad, codes.shape[0] - 1, np.int32)
+        rows[:n] = hrows_all[hit]
+        reads[:n] = b_ids                          # ascending (row-major)
+        return jnp.asarray(rows), jnp.asarray(reads)
+
+    @staticmethod
+    def _searchsorted_rows(keys: np.ndarray, kidx: np.ndarray):
+        """Sorted-key lookup: hit -> position, miss -> len(keys) (the
+        trailing all-zero pad row) -- host mirror of ``compact_rows``."""
+        n = keys.shape[0]
+        if n == 0:
+            return np.zeros(kidx.shape, np.int32)
+        pos = np.searchsorted(keys, kidx)
+        hit = (pos < n) & (keys[np.clip(pos, 0, n - 1)] == kidx)
+        return np.where(hit, pos, n).astype(np.int32)
+
+    def _map_alt_rows(self, kidx: np.ndarray):
+        """Raw alternative k-mer indices -> per-table row spec."""
+        if self.table == "direct":
+            return (jnp.asarray(kidx.astype(np.int32)),)
+        if self.table == "compact":
+            return (jnp.asarray(self._searchsorted_rows(self.db.keys,
+                                                        kidx)),)
+        return (jnp.asarray(self._searchsorted_rows(self._light_keys_np,
+                                                    kidx)),
+                jnp.asarray(self._searchsorted_rows(self._heavy_keys_np,
+                                                    kidx)))
+
+    def _apply_ambiguities(self, amb, acc):
+        """Dense modes: add window contributions into the accumulator."""
+        rows_spec, alt_win, win_read, win_inv_w, is_mean = amb
+        rows_f = alt_delta_rows(self.D, self.scale, rows_spec[0])
+        return ambiguous_pass(rows_f, alt_win, win_read, win_inv_w,
+                              is_mean, acc)

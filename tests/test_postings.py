@@ -1,0 +1,152 @@
+"""Postings (light/heavy split) table mode vs the compact dense mode
+and the serial oracle.
+
+The postings layout targets the large-tree regime (BASELINE.json configs
+3 and 5) where one dense row per k-mer is too wide; semantics must be
+identical to the other table modes (same candidate set L, same scores
+within f32-reordering tolerance).
+"""
+
+import numpy as np
+import pytest
+
+from rappas_tpu.db import PhyloKmerDB, build_csr
+from rappas_tpu.place.engine import PlacementEngine
+from rappas_tpu.tree import parse_newick
+from tests.test_engine import batch_of, compare, synthetic_db
+
+
+def skewed_db(seed=0, k=5, n_edges=40, n_kmers=300, heavy_frac=0.1):
+    """DB with a skewed posting-length distribution: most k-mers get
+    1-4 postings, a ``heavy_frac`` tail gets 12-30 (past the width-8
+    light cap), exercising both sides of the split."""
+    rng = np.random.default_rng(seed)
+    labels = ",".join(f"L{i}:0.{i % 9 + 1}" for i in range(n_edges - 1))
+    tree = parse_newick(f"({labels})root;")
+    tree.reset_jplace_edge_ids()
+    thr = PhyloKmerDB.threshold(k, 1.5, 4)
+    kmers = rng.choice(4 ** k, size=n_kmers, replace=False)
+    codes, edges = [], []
+    for km in kmers:
+        n = (int(rng.integers(12, 31)) if rng.random() < heavy_frac
+             else int(rng.integers(1, 5)))
+        es = rng.choice(np.arange(1, n_edges), size=min(n, n_edges - 1),
+                        replace=False)
+        codes.extend([km] * len(es))
+        edges.extend(es)
+    codes = np.array(codes, np.int64)
+    edges = np.array(edges, np.int32)
+    scores = (thr + 0.01 + rng.random(codes.shape[0]) * 2.5
+              ).astype(np.float32)
+    keys, offsets, e, deltas = build_csr(codes, edges, scores, thr)
+    from rappas_tpu.alphabet import DNA
+    return PhyloKmerDB(k=k, omega=1.5, alphabet=DNA, thr_log10=thr,
+                       tree=tree, keys=keys, offsets=offsets,
+                       edges=e, deltas=deltas)
+
+
+def random_reads(db, n, L, seed=1, alphabet="ACGT"):
+    rng = np.random.default_rng(seed)
+    return ["".join(rng.choice(list(alphabet), L)) for _ in range(n)]
+
+
+@pytest.fixture(scope="module")
+def db():
+    return skewed_db()
+
+
+def test_postings_tables_roundtrip(db):
+    """Every posting lands in exactly one of the two tables."""
+    pt = db.postings_tables(width=8)
+    lens = np.diff(db.offsets)
+    assert pt.light_keys.shape[0] + pt.heavy_keys.shape[0] == db.n_kmers
+    assert (lens[np.isin(db.keys, pt.light_keys)] <= 8).all()
+    assert (lens[np.isin(db.keys, pt.heavy_keys)] > 8).all()
+    # light rows reproduce the CSR content
+    n_light_postings = int(np.count_nonzero(pt.light_deltas))
+    n_heavy_postings = int(np.count_nonzero(pt.heavy_dense))
+    assert n_light_postings + n_heavy_postings == db.nnz
+    # spot-check one light and one heavy k-mer
+    for key_arr in (pt.light_keys, pt.heavy_keys):
+        kidx = int(key_arr[0])
+        edges, scores = db.lookup(kidx)
+        i = np.searchsorted(db.keys, kidx)
+        if (np.diff(db.offsets))[i] <= 8:
+            j = np.searchsorted(pt.light_keys, kidx)
+            got = {int(e): float(d) for e, d in
+                   zip(pt.light_edges[j], pt.light_deltas[j]) if d > 0}
+        else:
+            j = np.searchsorted(pt.heavy_keys, kidx)
+            got = {int(e): float(d) for e, d in
+                   enumerate(pt.heavy_dense[j]) if d > 0}
+        want = {int(e): float(s - db.thr_log10)
+                for e, s in zip(edges, scores)}
+        assert set(got) == set(want)
+
+
+def test_postings_matches_oracle(db):
+    engine = PlacementEngine(db, table="postings")
+    assert engine.table == "postings"
+    compare(db, engine, random_reads(db, 24, 30))
+
+
+def test_postings_matches_compact(db):
+    """Same batch through both table modes: identical candidate counts
+    and edges, scores equal within f32 reordering tolerance."""
+    e_post = PlacementEngine(db, table="postings")
+    e_comp = PlacementEngine(db, table="compact")
+    mat, lens = batch_of(random_reads(db, 32, 40, seed=7))
+    rp = e_post.score(mat.copy(), lens)
+    rc = e_comp.score(mat.copy(), lens)
+    assert np.array_equal(rp.n_matched, rc.n_matched)
+    for i in range(mat.shape[0]):
+        ep = [int(x) for x in rp.top_edges[i] if x >= 0]
+        ec = [int(x) for x in rc.top_edges[i] if x >= 0]
+        assert sorted(ep) == sorted(ec), f"read {i}"
+        sp = sorted(float(x) for x, ed in
+                    zip(rp.top_scores[i], rp.top_edges[i]) if ed >= 0)
+        sc = sorted(float(x) for x, ed in
+                    zip(rc.top_scores[i], rc.top_edges[i]) if ed >= 0)
+        assert np.allclose(sp, sc, atol=5e-4), f"read {i}"
+
+
+def test_postings_ambiguous_reads(db):
+    engine = PlacementEngine(db, table="postings")
+    reads = [r[:10] + "N" + r[11:] for r in random_reads(db, 8, 30,
+                                                         seed=3)]
+    compare(db, engine, reads)
+
+
+def test_postings_ambiguous_max_mode(db):
+    engine = PlacementEngine(db, table="postings",
+                             ambiguities_with_max=True)
+    reads = [r[:6] + "R" + r[7:] for r in random_reads(db, 6, 24,
+                                                       seed=5)]
+    compare(db, engine, reads, ambiguities_with_max=True)
+
+
+def test_postings_light_only():
+    """DB where no k-mer exceeds the width: heavy table is empty."""
+    db = synthetic_db(n_edges=5, n_kmers=60)
+    pt = db.postings_tables(width=64)
+    assert pt.heavy_keys.shape[0] == 0
+    engine = PlacementEngine(db, table="postings", postings_width=64)
+    compare(db, engine, random_reads(db, 12, 25, seed=11))
+
+
+def test_postings_heavy_only(db):
+    """Width 0 pushes everything into the heavy dense matrix."""
+    engine = PlacementEngine(db, table="postings", postings_width=0)
+    compare(db, engine, random_reads(db, 12, 25, seed=13))
+
+
+def test_postings_u16_rejected(db):
+    with pytest.raises(ValueError):
+        PlacementEngine(db, table="postings", precision="u16")
+
+
+def test_auto_selects_postings_for_huge_compact(db, monkeypatch):
+    monkeypatch.setattr(PlacementEngine, "DIRECT_BYTE_LIMIT", 1024)
+    engine = PlacementEngine(db, table="auto")
+    assert engine.table == "postings"
+    compare(db, engine, random_reads(db, 6, 25, seed=17))
