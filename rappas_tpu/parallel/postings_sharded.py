@@ -1,0 +1,236 @@
+"""Edge-range sharding of the postings tables: the large-tree multi-chip
+mode (BASELINE.json config 5: ~4000-taxon trees, k=12, >= 2 hosts).
+
+The single-chip postings layout (``rappas_tpu.place.engine``, table
+``postings``) already keeps the large-tree DB small; this module
+partitions it by **edge range** over the ``mp`` mesh axis:
+
+* every posting (edge, delta) lives on exactly one chip -- the one
+  owning its edge's range -- so each chip's light segment sums and heavy
+  accumulators are *complete* for its edges;
+* each chip runs the full postings pipeline on the (replicated-over-mp)
+  read stream and produces its top-k candidates;
+* the exact global top-k is the top-k of the all-gathered ``mp * K``
+  candidates (edges are partitioned, so per-edge scores never need a
+  cross-chip sum -- no psum over ``[B, E]`` tensors, only a tiny
+  ``[B, mp*K]`` all-gather over ICI);
+* the candidate-list size |L| is the psum of per-shard match counts.
+
+Edge-range sharding also *shrinks* posting lists per chip (a k-mer's
+postings split across ranges), pushing more k-mers under the light
+width -- the opposite of k-mer-range sharding, which keeps lists whole.
+
+Reads stay data-parallel over ``dp`` as everywhere else.  Ambiguity
+expansion is not wired into the sharded paths (same as the other
+parallel modes); the single-chip engine handles it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+from rappas_tpu.db import DELTA_TINY, PhyloKmerDB, build_csr
+from rappas_tpu.place.engine import (BatchResult, finalize_postings_local,
+                                     gather_rows, kmer_rows)
+
+
+def shard_db_by_edge(db: PhyloKmerDB, mp: int, width: int = 8):
+    """Partition the DB's postings into ``mp`` contiguous edge ranges and
+    build per-shard postings tables, padded to common shapes.
+
+    Returns (bounds int64[mp+1], stacked dict of arrays with leading mp
+    axis): light_pairs [mp, max_nl+1, 2P], rof [mp, space+1] (direct
+    k-mer -> row tables, per-shard nl encoding), nl int32[mp],
+    heavy_dense [mp, max_nh+1, W] with W = max range width.
+    """
+    E = db.n_edge_slots
+    space = db.alphabet.n_states ** db.k
+    if space * 4 > 1 << 30:
+        raise ValueError("postings_sharded needs the direct row table "
+                         f"(S^k = {space} too large)")
+    bounds = np.linspace(0, E, mp + 1).astype(np.int64)
+    codes_full = np.repeat(db.keys, np.diff(db.offsets))
+    scores_full = np.where(db.deltas <= DELTA_TINY,
+                           np.float32(0.0), db.deltas) + db.thr_log10
+
+    shards = []
+    for i in range(mp):
+        sel = (db.edges >= bounds[i]) & (db.edges < bounds[i + 1])
+        keys, offsets, edges, deltas = build_csr(
+            codes_full[sel], db.edges[sel],
+            scores_full[sel].astype(np.float32), db.thr_log10)
+        sub = PhyloKmerDB(k=db.k, omega=db.omega, alphabet=db.alphabet,
+                          thr_log10=db.thr_log10, tree=db.tree,
+                          keys=keys, offsets=offsets, edges=edges,
+                          deltas=deltas)
+        sub._arrays = db.arrays  # reuse; only n_edge_slots is read
+        shards.append(sub.postings_tables(width))
+
+    max_nl = max(pt.light_keys.shape[0] for pt in shards)
+    max_nh = max(pt.heavy_keys.shape[0] for pt in shards)
+    widths = np.diff(bounds)
+    W = int(widths.max())
+    Ptw = 2 * width
+
+    light_pairs = np.zeros((mp, max_nl + 1, Ptw), np.int32)
+    rof = np.zeros((mp, space + 1), np.int32)
+    nl_arr = np.zeros(mp, np.int32)
+    heavy_dense = np.zeros((mp, max_nh + 1, W), np.float32)
+    heavy_keys = []
+    for i, pt in enumerate(shards):
+        nl = pt.light_keys.shape[0]
+        nh = pt.heavy_keys.shape[0]
+        nl_arr[i] = nl
+        pairs = np.concatenate(
+            [pt.light_edges, pt.light_deltas.view(np.int32)], axis=1)
+        # rows beyond nl stay zero; row nl is the all-zero miss row and
+        # pad rows past it are never addressed (lrows = min(rof, nl))
+        light_pairs[i, :nl] = pairs[:nl]
+        r = np.full(space + 1, nl, np.int32)
+        r[pt.light_keys] = np.arange(nl, dtype=np.int32)
+        r[pt.heavy_keys] = nl + 1 + np.arange(nh, dtype=np.int32)
+        rof[i] = r
+        # heavy columns are local to the shard's edge range
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        heavy_dense[i, :nh, :hi - lo] = pt.heavy_dense[:nh, lo:hi]
+        heavy_keys.append(pt.heavy_keys)
+    return bounds, dict(light_pairs=light_pairs, rof=rof, nl=nl_arr,
+                        heavy_dense=heavy_dense, heavy_keys=heavy_keys)
+
+
+class PostingsShardedPlacement:
+    """Large-tree placement over a (dp, mp) mesh: reads data-parallel,
+    postings edge-range-sharded, exact top-k via candidate all-gather."""
+
+    def __init__(self, db: PhyloKmerDB, mesh: Mesh, keep_at_most: int = 7,
+                 postings_width: int = 8):
+        self.db = db
+        self.mesh = mesh
+        self.k = db.k
+        self.keep_at_most = keep_at_most
+        thr = jnp.float32(db.thr_log10)
+        mp = mesh.shape["mp"]
+        S = db.alphabet.n_states
+        space = S ** db.k
+
+        bounds, t = shard_db_by_edge(db, mp, postings_width)
+        self._bounds = bounds
+        self._heavy_keys = t["heavy_keys"]      # per-shard, host side
+        self._nl = t["nl"]
+        sh = lambda *spec: jax.sharding.NamedSharding(mesh, P(*spec))
+        self.light_pairs = jax.device_put(t["light_pairs"],
+                                          sh("mp", None, None))
+        self.rof = jax.device_put(t["rof"], sh("mp", None))
+        self.nl_dev = jax.device_put(t["nl"], sh("mp"))
+        self.H = jax.device_put(t["heavy_dense"], sh("mp", None, None))
+        self.offs_dev = jax.device_put(bounds[:-1].astype(np.int32),
+                                       sh("mp"))
+
+        k, K = db.k, keep_at_most
+
+        def shard_step(light_pairs, rof, nl, H, offs, codes, lengths,
+                       hrows, hreads):
+            # leading shard axes of size 1 from the in_specs
+            kidx = kmer_rows(codes, k, S, space + 1)
+            lrows = jnp.minimum(gather_rows(rof[0], kidx), nl[0])
+            dense_rows = gather_rows(H[0], hrows[0, 0])
+            te, ts, _, nm = finalize_postings_local(
+                light_pairs[0], lrows, dense_rows, hreads[0, 0], lengths,
+                thr, offs[0], k, K, True)
+            # exact |L|: edges are partitioned across shards
+            nm_tot = jax.lax.psum(nm, "mp")
+            # exact global top-k over the gathered mp*K candidates
+            te_all = jax.lax.all_gather(te, "mp", axis=1, tiled=True)
+            ts_all = jax.lax.all_gather(ts, "mp", axis=1, tiled=True)
+            top_s, ti = jax.lax.top_k(ts_all, K)
+            top_e = jnp.take_along_axis(te_all, ti, axis=1)
+            valid = jnp.isfinite(top_s)
+            w = jnp.where(valid, jnp.exp2(
+                (top_s - top_s[:, :1]) * np.float32(np.log2(10.0))), 0.0)
+            lwr = w / jnp.maximum(w.sum(axis=1, keepdims=True), 1e-30)
+            return (jnp.where(valid, top_e, -1).astype(jnp.int32),
+                    top_s, lwr, nm_tot)
+
+        self._step = jax.jit(shard_map(
+            shard_step, mesh=mesh,
+            in_specs=(P("mp", None, None), P("mp", None), P("mp"),
+                      P("mp", None, None), P("mp"),
+                      P("dp", None), P("dp"),
+                      P("dp", "mp", None), P("dp", "mp", None)),
+            out_specs=(P("dp", None), P("dp", None), P("dp", None),
+                       P("dp")),
+            # outputs are mp-replicated by construction (all_gather /
+            # psum over "mp"), but the static vma checker can't infer
+            # replication through the tiled all_gather
+            check_vma=False))
+
+    # ---------------------------------------------------------------- #
+    def _heavy_hits(self, codes: np.ndarray, lengths: np.ndarray):
+        """Heavy hit compaction (host), organised per (dp, mp) device:
+        rows int32[dp, mp, n_pad], reads int32[dp, mp, n_pad] with read
+        ids local to the dp shard (each device sees only its slice of
+        the batch inside shard_map)."""
+        B, L = codes.shape
+        dp = self.mesh.shape["dp"]
+        B_loc = B // dp
+        k, S = self.k, self.db.alphabet.n_states
+        Q = L - k + 1
+        idx = np.zeros((B, Q), np.int64)
+        amb = np.zeros((B, Q), bool)
+        for i in range(k):
+            w = codes[:, i:i + Q]
+            amb |= w < 0
+            idx *= S
+            idx += np.maximum(w, 0)
+        amb |= np.arange(Q)[None, :] > (lengths[:, None] - k)
+        idx = np.where(amb, -1, idx)
+
+        mp = len(self._heavy_keys)
+        per = {}
+        n_max = 1
+        for j, hk in enumerate(self._heavy_keys):
+            nh = hk.shape[0]
+            if nh == 0:
+                continue
+            pos = np.searchsorted(hk, idx)
+            posc = np.minimum(pos, nh - 1)
+            hit = (idx >= 0) & (pos < nh) & (hk[posc] == idx)
+            b_ids, _ = np.nonzero(hit)
+            r_ids = posc[hit].astype(np.int32)
+            d_of = b_ids // B_loc
+            for d in range(dp):
+                sel = d_of == d
+                per[d, j] = (r_ids[sel],
+                             (b_ids[sel] - d * B_loc).astype(np.int32))
+                n_max = max(n_max, int(sel.sum()))
+        n_pad = max(64, 1 << int(np.ceil(np.log2(n_max))))
+        rows = np.empty((dp, mp, n_pad), np.int32)
+        reads = np.full((dp, mp, n_pad), B_loc - 1, np.int32)
+        for j, hk in enumerate(self._heavy_keys):
+            rows[:, j] = hk.shape[0]       # pad -> shard's zero miss row
+        for (d, j), (r, b) in per.items():
+            rows[d, j, :r.shape[0]] = r
+            reads[d, j, :b.shape[0]] = b
+        return rows, reads
+
+    # ---------------------------------------------------------------- #
+    def score(self, codes: np.ndarray, lengths: np.ndarray) -> BatchResult:
+        """codes int8[B, L] (B divisible by dp), pure-ACGT reads."""
+        rows, reads = self._heavy_hits(codes, lengths)
+        sh = lambda *spec: jax.sharding.NamedSharding(self.mesh, P(*spec))
+        te, ts, lwr, nm = self._step(
+            self.light_pairs, self.rof, self.nl_dev, self.H,
+            self.offs_dev,
+            jax.device_put(codes, sh("dp", None)),
+            jax.device_put(lengths, sh("dp")),
+            jax.device_put(rows, sh("dp", "mp", None)),
+            jax.device_put(reads, sh("dp", "mp", None)))
+        return BatchResult(np.asarray(te), np.asarray(ts),
+                           np.asarray(lwr), np.asarray(nm))

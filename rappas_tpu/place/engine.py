@@ -261,6 +261,17 @@ def finalize_postings(light_pairs: jax.Array, lrows: jax.Array,
                       dense_rows: jax.Array, dense_reads: jax.Array,
                       lengths: jax.Array, thr: jax.Array,
                       k: int, keep_at_most: int, lowrank: bool = True):
+    return finalize_postings_local(
+        light_pairs, lrows, dense_rows, dense_reads, lengths, thr,
+        jnp.int32(0), k, keep_at_most, lowrank)
+
+
+def finalize_postings_local(light_pairs: jax.Array, lrows: jax.Array,
+                            dense_rows: jax.Array, dense_reads: jax.Array,
+                            lengths: jax.Array, thr: jax.Array,
+                            edge_offset: jax.Array,
+                            k: int, keep_at_most: int,
+                            lowrank: bool = True):
     """Postings-mode scoring: sort-based segment sums over the gathered
     light postings, combined exactly with the batch's dense row sources
     (heavy k-mer hit rows + ambiguity window contributions), then top-k
@@ -302,10 +313,16 @@ def finalize_postings(light_pairs: jax.Array, lrows: jax.Array,
     tolerance used for reference parity.  Edges whose entire delta sum
     is below that may drop from the candidate list; the dense modes
     keep per-edge accumulators and don't share this caveat.
+
+    ``edge_offset`` supports edge-range sharding
+    (``rappas_tpu.parallel.postings_sharded``): dense columns are then
+    local to the shard's edge range ``[offset, offset + W)`` while light
+    edge ids stay global; returned edges are always global.  Single-chip
+    callers pass 0 via :func:`finalize_postings`.
     """
     B, Q = lrows.shape
     P = light_pairs.shape[1] // 2
-    E = dense_rows.shape[1]
+    E = dense_rows.shape[1]          # local width W under sharding
     K = min(keep_at_most, E)
 
     dense_acc = jnp.zeros((B, E), jnp.float32).at[dense_reads].add(
@@ -329,15 +346,19 @@ def finalize_postings(light_pairs: jax.Array, lrows: jax.Array,
     seg = cs - start_cs                      # light per-edge sum at ends
     light_valid = is_end & (seg > 0)
 
+    # shard-local dense column per (global) light edge; a shard only
+    # stores postings of its own edge range, so real light edges always
+    # land in range (pads clip harmlessly: their seg == 0 masks them)
+    e_loc = jnp.clip(e_s - edge_offset, 0, E - 1)
     if lowrank:
         # dense values at the light edges, per dense source:
-        # vals[i, j] = dense_rows[i, e_s[read_i, j]]
-        e_sel = e_s[dense_reads]                         # [n_pad, J]
+        # vals[i, j] = dense_rows[i, e_loc[read_i, j]]
+        e_sel = e_loc[dense_reads]                       # [n_pad, J]
         vals = jnp.take_along_axis(dense_rows, e_sel, axis=1)
         dense_at = jnp.zeros(e_s.shape, jnp.float32).at[
             dense_reads].add(vals)
     else:
-        dense_at = jnp.take_along_axis(dense_acc, e_s, axis=1)
+        dense_at = jnp.take_along_axis(dense_acc, e_loc, axis=1)
     light_total = seg + dense_at
     l_scores, li = jax.lax.top_k(
         jnp.where(light_valid, light_total, -jnp.inf), K)
@@ -345,6 +366,7 @@ def finalize_postings(light_pairs: jax.Array, lrows: jax.Array,
 
     h_scores, h_edges = jax.lax.top_k(
         jnp.where(dense_acc > 0, dense_acc, -jnp.inf), K)
+    h_edges = h_edges + edge_offset              # local col -> global id
 
     cedge = jnp.concatenate([l_edges, h_edges.astype(l_edges.dtype)], 1)
     cscore = jnp.concatenate([l_scores, h_scores], 1)
