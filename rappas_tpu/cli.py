@@ -234,8 +234,15 @@ def _place_all(db, args, call_string: str) -> None:
         invocation=f"rappas-tpu {call_string}")
 
     def run_all():
+        from rappas_tpu.place.engine import PlacementEngine
+        # one engine (device tables + compiled kernels) for all files
+        engine = PlacementEngine(
+            db, keep_at_most=cfg.keep_at_most,
+            treat_ambiguities=cfg.treat_ambiguities,
+            ambiguities_with_max=cfg.ambiguities_with_max,
+            precision=cfg.precision, table=cfg.table)
         for q in args.queries.split(","):
-            place_queries(db, q, args.workdir, cfg)
+            place_queries(db, q, args.workdir, cfg, engine=engine)
 
     if args.profile:
         import jax

@@ -9,9 +9,12 @@ synthetic but statistically shaped like the real thing (clock-ish tree,
 from __future__ import annotations
 
 import argparse
+import sys
 from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 BASES = np.frombuffer(b"ACGT", np.uint8)
 
