@@ -150,3 +150,40 @@ def test_auto_selects_postings_for_huge_compact(db, monkeypatch):
     engine = PlacementEngine(db, table="auto")
     assert engine.table == "postings"
     compare(db, engine, random_reads(db, 6, 25, seed=17))
+
+
+def test_postings_fallback_without_direct_table(db, monkeypatch):
+    """When S^k exceeds the direct-index budget the light lookup falls
+    back to binary search and heavy hits to host searchsorted (the
+    protein / very-large-k path)."""
+    monkeypatch.setattr(PlacementEngine, "DIRECT_INDEX_LIMIT", 0)
+    engine = PlacementEngine(db, table="postings")
+    assert engine.rof_dev is None and engine.light_keys_dev is not None
+    compare(db, engine, random_reads(db, 12, 30, seed=19))
+
+
+def test_postings_protein_mode():
+    """AA postings: 20^k index space, int64 keys, no direct table."""
+    from rappas_tpu.alphabet import get_alphabet
+    from rappas_tpu.tree import parse_newick
+    rng = np.random.default_rng(4)
+    aa = get_alphabet("amino")
+    k, n_edges = 8, 12
+    labels = ",".join(f"L{i}:0.2" for i in range(n_edges - 1))
+    tree = parse_newick(f"({labels})root;")
+    tree.reset_jplace_edge_ids()
+    thr = PhyloKmerDB.threshold(k, 1.5, 20)
+    codes = rng.integers(0, 20 ** k, 500, dtype=np.int64)
+    edges = rng.integers(1, n_edges, 500).astype(np.int32)
+    scores = (thr + 0.01 + rng.random(500) * 2.0).astype(np.float32)
+    keys, offsets, e, deltas = build_csr(codes, edges, scores, thr)
+    db = PhyloKmerDB(k=k, omega=1.5, alphabet=aa, thr_log10=thr,
+                     tree=tree, keys=keys, offsets=offsets,
+                     edges=e, deltas=deltas)
+    engine = PlacementEngine(db, table="postings")
+    assert engine.rof_dev is None
+    letters = "ARNDCQEGHILKMFPSTWYV"
+    reads = ["".join(rng.choice(list(letters), 25)) for _ in range(6)]
+    # include one read built from a DB k-mer so something matches
+    reads.append(db.alphabet.kmer_to_string(int(keys[0]), k) * 3)
+    compare(db, engine, reads)
