@@ -38,7 +38,8 @@ except ImportError:  # older jax
 
 from rappas_tpu.db import DELTA_TINY, PhyloKmerDB, build_csr
 from rappas_tpu.place.engine import (BatchResult, finalize_postings_local,
-                                     gather_rows, kmer_rows)
+                                     gather_rows, host_kmer_indices,
+                                     kmer_rows)
 
 
 def shard_db_by_edge(db: PhyloKmerDB, mp: int, width: int = 8):
@@ -57,8 +58,13 @@ def shard_db_by_edge(db: PhyloKmerDB, mp: int, width: int = 8):
                          f"(S^k = {space} too large)")
     bounds = np.linspace(0, E, mp + 1).astype(np.int64)
     codes_full = np.repeat(db.keys, np.diff(db.offsets))
-    scores_full = np.where(db.deltas <= DELTA_TINY,
-                           np.float32(0.0), db.deltas) + db.thr_log10
+    # float64 round trip: build_csr recomputes delta = (score - thr) as
+    # f32; with f64 scores the recovered deltas are bit-identical to the
+    # originals (an f32 intermediate would perturb ~half by 1 ulp and
+    # break cross-mode equality on near-tie candidates)
+    scores_full = (np.where(db.deltas <= DELTA_TINY,
+                            np.float32(0.0), db.deltas).astype(np.float64)
+                   + np.float64(db.thr_log10))
 
     shards = []
     for i in range(mp):
@@ -146,10 +152,12 @@ class PostingsShardedPlacement:
                 thr, offs[0], k, K, True)
             # exact |L|: edges are partitioned across shards
             nm_tot = jax.lax.psum(nm, "mp")
-            # exact global top-k over the gathered mp*K candidates
+            # exact global top-k over the gathered mp*K candidates;
+            # each shard contributes min(K, local width) columns, so
+            # clamp for tiny trees where that is below keep_at_most
             te_all = jax.lax.all_gather(te, "mp", axis=1, tiled=True)
             ts_all = jax.lax.all_gather(ts, "mp", axis=1, tiled=True)
-            top_s, ti = jax.lax.top_k(ts_all, K)
+            top_s, ti = jax.lax.top_k(ts_all, min(K, ts_all.shape[1]))
             top_e = jnp.take_along_axis(te_all, ti, axis=1)
             valid = jnp.isfinite(top_s)
             w = jnp.where(valid, jnp.exp2(
@@ -180,17 +188,8 @@ class PostingsShardedPlacement:
         B, L = codes.shape
         dp = self.mesh.shape["dp"]
         B_loc = B // dp
-        k, S = self.k, self.db.alphabet.n_states
-        Q = L - k + 1
-        idx = np.zeros((B, Q), np.int64)
-        amb = np.zeros((B, Q), bool)
-        for i in range(k):
-            w = codes[:, i:i + Q]
-            amb |= w < 0
-            idx *= S
-            idx += np.maximum(w, 0)
-        amb |= np.arange(Q)[None, :] > (lengths[:, None] - k)
-        idx = np.where(amb, -1, idx)
+        idx = host_kmer_indices(codes, lengths, self.k,
+                                self.db.alphabet.n_states)
 
         mp = len(self._heavy_keys)
         per = {}

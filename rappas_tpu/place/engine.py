@@ -205,6 +205,26 @@ def compact_rows(keys: jax.Array, idx: jax.Array) -> jax.Array:
     return jnp.where(hit, pos, n).astype(jnp.int32)
 
 
+def host_kmer_indices(codes: np.ndarray, lengths: np.ndarray, k: int,
+                      n_states: int) -> np.ndarray:
+    """[B, Q] k-mer indices on host (-1 = window contains ambiguity or
+    padding) -- numpy mirror of :func:`kmer_indices64`, shared by the
+    engine's heavy-hit extraction and the sharded placements.  int32
+    when the index space fits (2.4x faster host pass)."""
+    B, L = codes.shape
+    Q = L - k + 1
+    dtype = (np.int32 if n_states ** k <= 2 ** 31 - 1 else np.int64)
+    idx = np.zeros((B, Q), dtype)
+    amb = np.zeros((B, Q), bool)
+    for i in range(k):
+        w = codes[:, i:i + Q]
+        amb |= w < 0
+        idx *= n_states
+        idx += np.maximum(w, 0).astype(dtype)
+    amb |= np.arange(Q)[None, :] > (lengths[:, None] - k)
+    return np.where(amb, dtype(-1), idx)
+
+
 def pack_reads(codes: np.ndarray) -> np.ndarray:
     """Host-side 2-bit packing of int8 state codes (no ambiguities);
     negative codes pack as 0 (their windows are masked by length)."""
@@ -310,9 +330,9 @@ def finalize_postings_local(light_pairs: jax.Array, lrows: jax.Array,
     Precision note: per-read segment sums ride one running cumsum, so a
     segment's sum carries absolute error ~ulp(row running total) --
     about 1e-4 log10 units at default scales, the same order as the
-    tolerance used for reference parity.  Edges whose entire delta sum
-    is below that may drop from the candidate list; the dense modes
-    keep per-edge accumulators and don't share this caveat.
+    tolerance used for reference parity.  Candidate *membership* and
+    |L| are exact regardless: presence is tested via a separate count
+    cumsum whose 0/1 sums never cancel.
 
     ``edge_offset`` supports edge-range sharding
     (``rappas_tpu.parallel.postings_sharded``): dense columns are then
@@ -344,7 +364,18 @@ def finalize_postings_local(light_pairs: jax.Array, lrows: jax.Array,
     start_cs = jax.lax.cummax(
         jnp.where(is_start, prev_cs, -jnp.inf), axis=1)
     seg = cs - start_cs                      # light per-edge sum at ends
-    light_valid = is_end & (seg > 0)
+    # candidate membership must be exact: a tiny delta can vanish from
+    # the f32 running cumsum (seg == 0 despite a real posting), so test
+    # presence via a *count* cumsum -- 0/1 sums are exact in f32 up to
+    # 2^24.  Only pad slots carry delta == 0, so count > 0 <=> the
+    # segment holds at least one real posting, matching the dense
+    # modes' acc > 0 semantics exactly.
+    cnt = jnp.cumsum((d_s > 0).astype(jnp.float32), axis=1)
+    prev_cnt = jnp.concatenate(
+        [jnp.zeros((B, 1), cnt.dtype), cnt[:, :-1]], axis=1)
+    start_cnt = jax.lax.cummax(
+        jnp.where(is_start, prev_cnt, -jnp.inf), axis=1)
+    light_valid = is_end & (cnt - start_cnt > 0)
 
     # shard-local dense column per (global) light edge; a shard only
     # stores postings of its own edge range, so real light edges always
@@ -744,22 +775,8 @@ class PlacementEngine:
 
     def _host_kmer_indices(self, codes: np.ndarray,
                            lengths: np.ndarray) -> np.ndarray:
-        """[B, Q] k-mer indices on host (-1 = window contains
-        ambiguity/padding) -- numpy mirror of :func:`kmer_indices64`.
-        int32 when the index space fits (2.4x faster host pass)."""
-        B, L = codes.shape
-        k, S = self.k, self.alphabet.n_states
-        Q = L - k + 1
-        dtype = (np.int32 if S ** k <= 2 ** 31 - 1 else np.int64)
-        idx = np.zeros((B, Q), dtype)
-        amb = np.zeros((B, Q), bool)
-        for i in range(k):
-            w = codes[:, i:i + Q]
-            amb |= w < 0
-            idx *= S
-            idx += np.maximum(w, 0).astype(dtype)
-        amb |= np.arange(Q)[None, :] > (lengths[:, None] - k)
-        return np.where(amb, dtype(-1), idx)
+        return host_kmer_indices(codes, lengths, self.k,
+                                 self.alphabet.n_states)
 
     def _heavy_hits(self, codes: np.ndarray, lengths: np.ndarray):
         """Compact the batch's heavy-k-mer hits on host.

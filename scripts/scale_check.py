@@ -15,7 +15,7 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent))
 
 
 def build_large_db(k=12, n_taxa=4000, n_light=2_000_000, n_heavy=10_000,

@@ -187,3 +187,52 @@ def test_postings_protein_mode():
     # include one read built from a DB k-mer so something matches
     reads.append(db.alphabet.kmer_to_string(int(keys[0]), k) * 3)
     compare(db, engine, reads)
+
+
+def test_postings_tiny_delta_membership():
+    """An edge matched only by a threshold-grade (DELTA_TINY) posting
+    must stay in the candidate list even when the per-read cumsum is
+    large before its segment (f32 cancellation would zero its sum);
+    membership is tested via the exact count cumsum."""
+    from rappas_tpu.alphabet import DNA
+    from rappas_tpu.db import DELTA_TINY
+    from rappas_tpu.tree import parse_newick
+    k, n_edges = 5, 10
+    labels = ",".join(f"L{i}:0.2" for i in range(n_edges - 1))
+    tree = parse_newick(f"({labels})root;")
+    tree.reset_jplace_edge_ids()
+    thr = PhyloKmerDB.threshold(k, 1.5, 4)
+    # read = 8 distinct k-mers; 7 carry big deltas on low edge ids,
+    # one carries a threshold-exact score (delta clamps to DELTA_TINY)
+    # on the highest edge id, whose segment sorts last per read
+    read = "ACGTACGTACGT"
+    weights = 4 ** np.arange(k - 1, -1, -1, dtype=np.int64)
+    code_of = {c: i for i, c in enumerate("ACGT")}
+    kmers = [read[i:i + k] for i in range(len(read) - k + 1)]
+    codes, edges, scores = [], [], []
+    for j, km in enumerate(kmers):
+        kidx = int(np.array([code_of[c] for c in km]) @ weights)
+        if j == len(kmers) - 1:
+            codes.append(kidx); edges.append(9); scores.append(float(thr))
+        else:
+            codes.append(kidx); edges.append(1 + j % 5)
+            scores.append(float(thr) + 2.5)
+    keys, offsets, e, deltas = build_csr(
+        np.array(codes, np.int64), np.array(edges, np.int32),
+        np.array(scores, np.float32), thr)
+    db = PhyloKmerDB(k=k, omega=1.5, alphabet=DNA, thr_log10=thr,
+                     tree=tree, keys=keys, offsets=offsets, edges=e,
+                     deltas=deltas)
+    assert (deltas == DELTA_TINY).any()
+    engine = PlacementEngine(db, table="postings")
+    mat = np.frombuffer(read.encode(), np.uint8)[None, :].copy()
+    res = engine.score(mat, np.array([len(read)], np.int32))
+    got = {int(x) for x in res.top_edges[0] if x >= 0}
+    assert 9 in got, "threshold-grade posting dropped from candidates"
+    rows_o, n_o = oracle_place(db, read)
+    assert int(res.n_matched[0]) == n_o
+
+
+def oracle_place(db, read):
+    from rappas_tpu.place import oracle
+    return oracle.place_read(db, read)
