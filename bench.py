@@ -144,10 +144,13 @@ def main():
             drain(o)
         return chunks * STEPS * B / (time.time() - t0)
 
-    # the dev tunnel's throughput wanders run to run; report the best
-    # sustained window (each window is ~1.5M reads) as the steady-state
-    # rate, the way sustained-throughput benchmarks conventionally do
-    reads_per_s = max(window() for _ in range(3))
+    # the dev tunnel's throughput wanders run to run; report the MEDIAN
+    # sustained window (each window is ~1.5M reads) as the headline rate
+    # (best-of-N systematically overstates sustained throughput), with
+    # the peak window kept as a separate field
+    windows = sorted(window() for _ in range(3))
+    reads_per_s = windows[1]
+    peak_reads_per_s = windows[-1]
 
     # correctness spot-check: the timed path must agree with the serial
     # reference-semantics oracle
@@ -181,6 +184,7 @@ def main():
         "value": round(reads_per_s),
         "unit": "reads/s",
         "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 1),
+        "peak": round(peak_reads_per_s),
     }))
     return 0
 

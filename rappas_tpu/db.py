@@ -21,8 +21,16 @@ positive minimum: delta is what placement accumulates
 (``S[e] = Q*thr + sum(delta)``, ``PlacementProcess.java:726-734``), and
 keeping it strictly positive lets the TPU engine detect "edge was matched"
 as ``accumulated > 0`` without a second counter tensor.  The raw score is
-recovered as ``delta + thr`` (the clamp is ~1e-38, far below f32 resolution
-of any real score).
+recovered as ``delta + thr``.
+
+The clamp must be a *normal* float32: TPU (and some XLA CPU paths) flush
+subnormals to zero, so a subnormal clamp would silently become 0.0 on
+device and drop threshold-grade matches from candidate lists (the
+reference keeps them: a score exactly at threshold still increments C and
+joins L, ``CustomHash_v4_FastUtil81.java:73-102`` +
+``PlacementProcess.java:726-734``).  1e-30 is far above the min normal
+(~1.18e-38) yet ~23 orders below the smallest genuine delta (one f32 ulp
+at threshold magnitude, ~2e-7), so it never perturbs a real score sum.
 """
 
 from __future__ import annotations
@@ -41,8 +49,9 @@ from rappas_tpu.tree import ArrayTree, Tree, parse_newick, write_newick
 
 FORMAT_VERSION = 1
 
-#: strictly positive floor for stored deltas (see module docstring)
-DELTA_TINY = np.float32(1e-38)
+#: strictly positive floor for stored deltas; must be a NORMAL float32
+#: (flush-to-zero-safe on TPU) -- see module docstring
+DELTA_TINY = np.float32(1e-30)
 
 
 @dataclasses.dataclass

@@ -71,7 +71,7 @@ def shard_db_by_edge(db: PhyloKmerDB, mp: int, width: int = 8):
         sel = (db.edges >= bounds[i]) & (db.edges < bounds[i + 1])
         keys, offsets, edges, deltas = build_csr(
             codes_full[sel], db.edges[sel],
-            scores_full[sel].astype(np.float32), db.thr_log10)
+            scores_full[sel], db.thr_log10)
         sub = PhyloKmerDB(k=db.k, omega=db.omega, alphabet=db.alphabet,
                           thr_log10=db.thr_log10, tree=db.tree,
                           keys=keys, offsets=offsets, edges=edges,

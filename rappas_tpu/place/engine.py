@@ -470,7 +470,15 @@ def ambiguous_contrib(rows: jax.Array, alt_win: jax.Array,
 
     Max (``treatAmbiguitiesWithMax``, ``:1185-1236``):
     ``contrib = max_alt delta`` (0 if nothing matched).
+
+    Membership: an edge hit by any alternative joins the candidate list
+    even when its mean contribution rounds to 0 (all hits exactly at
+    threshold) -- the reference increments C[x] on first hit regardless
+    of the contribution value (``PlacementProcess.java:1149-1160``).  So
+    hit entries are floored at DELTA_TINY (a normal f32, FTZ-safe) and
+    only no-hit entries are exactly 0.
     """
+    from rappas_tpu.db import DELTA_TINY
     n_win = win_is_mean.shape[0]
     ten = jnp.exp2(rows * np.float32(np.log2(10.0)))
     sums = jax.ops.segment_sum(ten, alt_win, num_segments=n_win)
@@ -478,7 +486,8 @@ def ambiguous_contrib(rows: jax.Array, alt_win: jax.Array,
     mean_contrib = jnp.log2(jnp.maximum(
         sums * win_inv_w[:, None], 1e-30)) * np.float32(1.0 / np.log2(10.0))
     contrib = jnp.where(win_is_mean[:, None], mean_contrib, maxs)
-    return jnp.maximum(contrib, 0.0)
+    hit = maxs > 0                     # stored deltas are >= DELTA_TINY
+    return jnp.where(hit, jnp.maximum(contrib, DELTA_TINY), 0.0)
 
 
 @jax.jit

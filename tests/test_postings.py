@@ -236,3 +236,58 @@ def test_postings_tiny_delta_membership():
 def oracle_place(db, read):
     from rappas_tpu.place import oracle
     return oracle.place_read(db, read)
+
+
+@pytest.mark.parametrize("mode", ["direct", "compact", "postings"])
+def test_threshold_grade_score_all_modes(mode):
+    """VERDICT r1 #1 regression: a score stored EXACTLY at threshold
+    (delta clamps to DELTA_TINY) must survive every device table layout
+    -- the edge stays in L, n_matched counts it, and its score is
+    Q*thr within one clamp quantum.  Also asserts the clamp itself is a
+    normal f32 (flush-to-zero on TPU would erase a subnormal clamp).
+
+    Reference semantics: ``CustomHash_v4_FastUtil81.java:73-102`` stores
+    the score and ``PlacementProcess.java:726-734`` still increments C
+    and joins L for a threshold-grade match."""
+    from rappas_tpu.alphabet import DNA
+    from rappas_tpu.db import DELTA_TINY
+    from rappas_tpu.tree import parse_newick
+
+    assert float(DELTA_TINY) >= float(np.finfo(np.float32).tiny), \
+        "DELTA_TINY must be a normal float32 (FTZ-safe)"
+
+    k, n_edges = 5, 6
+    labels = ",".join(f"L{i}:0.2" for i in range(n_edges - 1))
+    tree = parse_newick(f"({labels})root;")
+    tree.reset_jplace_edge_ids()
+    thr = PhyloKmerDB.threshold(k, 1.5, 4)
+    read = "AACGTTGCAT"  # 6 k-mers, all distinct (non-periodic)
+    weights = 4 ** np.arange(k - 1, -1, -1, dtype=np.int64)
+    code_of = {c: i for i, c in enumerate("ACGT")}
+    kmers = [read[i:i + k] for i in range(len(read) - k + 1)]
+    # edge 3 is matched ONLY at exact threshold by every k-mer
+    codes, edges, scores = [], [], []
+    for j, km in enumerate(kmers):
+        kidx = int(np.array([code_of[c] for c in km]) @ weights)
+        codes.append(kidx); edges.append(3); scores.append(float(thr))
+        codes.append(kidx); edges.append(1); scores.append(float(thr) + 1.0)
+    keys, offsets, e, deltas = build_csr(
+        np.array(codes, np.int64), np.array(edges, np.int32),
+        np.array(scores, np.float32), thr)
+    db = PhyloKmerDB(k=k, omega=1.5, alphabet=DNA, thr_log10=thr,
+                     tree=tree, keys=keys, offsets=offsets, edges=e,
+                     deltas=deltas)
+    assert (deltas == DELTA_TINY).sum() == len(kmers)
+    engine = PlacementEngine(db, table=mode)
+    mat = np.frombuffer(read.encode(), np.uint8)[None, :].copy()
+    res = engine.score(mat, np.array([len(read)], np.int32))
+    got = {int(x) for x in res.top_edges[0] if x >= 0}
+    assert got == {1, 3}, f"{mode}: candidate set {got} != {{1, 3}}"
+    assert int(res.n_matched[0]) == 2
+    # edge 3's score is Q*thr + Q*DELTA_TINY ~= Q*thr
+    q = len(kmers)
+    i3 = [int(x) for x in res.top_edges[0]].index(3)
+    s3 = float(res.top_scores[0][i3])
+    assert abs(s3 - q * thr) < 1e-4, f"{mode}: score {s3} vs {q * thr}"
+    rows_o, n_o = oracle_place(db, read)
+    assert n_o == 2
