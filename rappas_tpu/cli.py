@@ -120,6 +120,26 @@ def build_parser() -> argparse.ArgumentParser:
                         "when S^k is small enough, else binary-search "
                         "compact table, else light/heavy postings for "
                         "the large-tree regime)")
+    # multi-chip / multi-host placement (no reference analog: the
+    # reference is single-threaded, PlacementProcess.java:1239-1241)
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel mesh axis: shard read batches "
+                        "over this many devices (0 = auto: all local "
+                        "devices when more than one, else single-chip)")
+    p.add_argument("--mp", type=int, default=1,
+                   help="model-parallel mesh axis: shard the phylo-kmer "
+                        "table (edge ranges) over this many devices for "
+                        "DBs exceeding one chip's HBM")
+    p.add_argument("--num-hosts", type=int, default=1,
+                   help="total hosts; each host places its round-robin "
+                        "shard of the reads against its own DB copy "
+                        "(zero cross-host traffic in the hot loop)")
+    p.add_argument("--host-id", type=int, default=0,
+                   help="this host's rank in [0, num-hosts)")
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="jax.distributed coordinator address (needed on "
+                        "multi-host TPU pods; rank 0 then merges the "
+                        "per-host jplace parts)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a JAX profiler trace of the placement "
                         "into DIR (view with TensorBoard/Perfetto)")
@@ -217,8 +237,55 @@ def run_placement(args, call_string: str) -> int:
     return 0
 
 
+def _make_engine(db, args, cfg):
+    """Single-chip or mesh engine from the --dp/--mp flags."""
+    import jax
+
+    n_dev = len(jax.devices())
+    dp = args.dp if args.dp else (n_dev if args.mp == 1 and n_dev > 1
+                                  else 1)
+    mp = args.mp
+    if dp * mp <= 1:
+        from rappas_tpu.place.engine import PlacementEngine
+        return PlacementEngine(
+            db, keep_at_most=cfg.keep_at_most,
+            treat_ambiguities=cfg.treat_ambiguities,
+            ambiguities_with_max=cfg.ambiguities_with_max,
+            precision=cfg.precision, table=cfg.table)
+    if dp * mp > n_dev:
+        raise SystemExit(f"--dp {dp} x --mp {mp} needs {dp * mp} "
+                         f"devices, only {n_dev} visible")
+    from rappas_tpu.parallel.engine import ShardedEngine
+    from rappas_tpu.parallel.mesh import make_mesh
+    if cfg.precision != "f32":
+        log("multi-chip placement is f32-only; ignoring --precision")
+    if cfg.batch_size % dp:
+        cfg.batch_size = -(-cfg.batch_size // dp) * dp
+        log(f"batch size rounded up to {cfg.batch_size} "
+            f"(multiple of dp={dp})")
+    mesh = make_mesh(jax.devices()[:dp * mp], dp=dp, mp=mp)
+    log(f"placement mesh: dp={dp} x mp={mp}")
+    return ShardedEngine(
+        db, mesh, keep_at_most=cfg.keep_at_most,
+        treat_ambiguities=cfg.treat_ambiguities,
+        ambiguities_with_max=cfg.ambiguities_with_max, table=cfg.table)
+
+
 def _place_all(db, args, call_string: str) -> None:
     from rappas_tpu.place.pipeline import PlacementConfig, place_queries
+
+    if args.coordinator or args.num_hosts > 1:
+        from rappas_tpu.parallel.distributed import init_distributed
+        pid, n_hosts = init_distributed(
+            args.coordinator,
+            args.num_hosts if args.coordinator else None,
+            args.host_id if args.coordinator else None)
+        if not args.coordinator:
+            pid, n_hosts = args.host_id, args.num_hosts
+        read_shard = (pid, n_hosts)
+        log(f"multi-host placement: host {pid}/{n_hosts}")
+    else:
+        read_shard = None
 
     cfg = PlacementConfig(
         keep_at_most=args.keep_at_most,
@@ -231,18 +298,16 @@ def _place_all(db, args, call_string: str) -> None:
                                    float("-inf"))),
         batch_size=args.batch_size,
         precision=args.precision, table=args.table,
-        invocation=f"rappas-tpu {call_string}")
+        invocation=f"rappas-tpu {call_string}",
+        read_shard=read_shard)
 
     def run_all():
-        from rappas_tpu.place.engine import PlacementEngine
         # one engine (device tables + compiled kernels) for all files
-        engine = PlacementEngine(
-            db, keep_at_most=cfg.keep_at_most,
-            treat_ambiguities=cfg.treat_ambiguities,
-            ambiguities_with_max=cfg.ambiguities_with_max,
-            precision=cfg.precision, table=cfg.table)
+        engine = _make_engine(db, args, cfg)
         for q in args.queries.split(","):
-            place_queries(db, q, args.workdir, cfg, engine=engine)
+            out = place_queries(db, q, args.workdir, cfg, engine=engine)
+            if read_shard is not None:
+                _merge_host_parts(out, q, args, read_shard)
 
     if args.profile:
         import jax
@@ -251,6 +316,32 @@ def _place_all(db, args, call_string: str) -> None:
         log(f"profiler trace written to {args.profile}")
     else:
         run_all()
+
+
+def _merge_host_parts(part_path, query, args, read_shard) -> None:
+    """Rank 0 merges the per-host jplace parts once all hosts wrote
+    theirs (a cross-host barrier exists only under --coordinator;
+    otherwise parts are left for an offline merge)."""
+    from pathlib import Path
+
+    from rappas_tpu.parallel.distributed import merge_jplace
+    pid, n_hosts = read_shard
+    if args.coordinator:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("rappas_tpu_jplace_parts")
+    elif n_hosts > 1:
+        log(f"wrote host part {part_path}; merge the parts with "
+            "rappas_tpu.parallel.distributed.merge_jplace once all "
+            "hosts finished")
+        return
+    if pid == 0:
+        qname = Path(query).name
+        parts = [Path(args.workdir) /
+                 f"placements_{qname}.jplace.part{i}"
+                 for i in range(n_hosts)]
+        merged = Path(args.workdir) / f"placements_{qname}.jplace"
+        merge_jplace(parts, merged)
+        log(f"merged {n_hosts} host parts into {merged}")
 
 
 if __name__ == "__main__":

@@ -20,9 +20,12 @@ Edge-range sharding also *shrinks* posting lists per chip (a k-mer's
 postings split across ranges), pushing more k-mers under the light
 width -- the opposite of k-mer-range sharding, which keeps lists whole.
 
-Reads stay data-parallel over ``dp`` as everywhere else.  Ambiguity
-expansion is not wired into the sharded paths (same as the other
-parallel modes); the single-chip engine handles it.
+Reads stay data-parallel over ``dp`` as everywhere else.  IUPAC
+ambiguity windows (host-expanded by the engine,
+``PlacementProcess.java:1129-1236``) are routed as additional per-shard
+dense sources: every shard computes each window's contribution over its
+own edge range from its local light/heavy tables, exactly like the
+single-chip postings path does over the full range.
 """
 
 from __future__ import annotations
@@ -39,7 +42,8 @@ except ImportError:  # older jax
 from rappas_tpu.db import DELTA_TINY, PhyloKmerDB, build_csr
 from rappas_tpu.place.engine import (BatchResult, finalize_postings_local,
                                      gather_rows, host_kmer_indices,
-                                     kmer_rows)
+                                     kmer_rows, searchsorted_rows as
+                                     _searchsorted_rows)
 
 
 def shard_db_by_edge(db: PhyloKmerDB, mp: int, width: int = 8):
@@ -90,6 +94,7 @@ def shard_db_by_edge(db: PhyloKmerDB, mp: int, width: int = 8):
     nl_arr = np.zeros(mp, np.int32)
     heavy_dense = np.zeros((mp, max_nh + 1, W), np.float32)
     heavy_keys = []
+    light_keys = []
     for i, pt in enumerate(shards):
         nl = pt.light_keys.shape[0]
         nh = pt.heavy_keys.shape[0]
@@ -107,8 +112,10 @@ def shard_db_by_edge(db: PhyloKmerDB, mp: int, width: int = 8):
         lo, hi = int(bounds[i]), int(bounds[i + 1])
         heavy_dense[i, :nh, :hi - lo] = pt.heavy_dense[:nh, lo:hi]
         heavy_keys.append(pt.heavy_keys)
+        light_keys.append(pt.light_keys)
     return bounds, dict(light_pairs=light_pairs, rof=rof, nl=nl_arr,
-                        heavy_dense=heavy_dense, heavy_keys=heavy_keys)
+                        heavy_dense=heavy_dense, heavy_keys=heavy_keys,
+                        light_keys=light_keys)
 
 
 class PostingsShardedPlacement:
@@ -140,16 +147,43 @@ class PostingsShardedPlacement:
                                        sh("mp"))
 
         k, K = db.k, keep_at_most
+        self._light_keys = t["light_keys"]       # per-shard, host side
 
-        def shard_step(light_pairs, rof, nl, H, offs, codes, lengths,
-                       hrows, hreads):
+        def shard_body(light_pairs, rof, nl, H, offs, codes, lengths,
+                       hrows, hreads, amb):
             # leading shard axes of size 1 from the in_specs
+            B_loc = codes.shape[0]
+            W = H.shape[2]
             kidx = kmer_rows(codes, k, S, space + 1)
             lrows = jnp.minimum(gather_rows(rof[0], kidx), nl[0])
             dense_rows = gather_rows(H[0], hrows[0, 0])
+            dense_reads = hreads[0, 0]
+            if amb is not None:
+                # ambiguity windows as extra dense sources, local to
+                # this shard's edge range (engine.ambiguous_contrib
+                # semantics, PlacementProcess.java:1129-1236)
+                (alt_lrows, alt_hrows, alt_win, win_read,
+                 win_inv_w, win_is_mean) = amb
+                g = light_pairs[0][alt_lrows[0]]          # [n_alt, 2P]
+                Pw = g.shape[1] // 2
+                e_loc = jnp.clip(g[:, :Pw] - offs[0], 0, W - 1)
+                d = jax.lax.bitcast_convert_type(g[:, Pw:], jnp.float32)
+                rows_f = H[0][alt_hrows[0]].at[
+                    jnp.arange(e_loc.shape[0])[:, None], e_loc].add(d)
+                from rappas_tpu.place.engine import ambiguous_contrib
+                contrib = ambiguous_contrib(rows_f, alt_win, win_inv_w,
+                                            win_is_mean)  # [n_win, W]
+                dpi = jax.lax.axis_index("dp")
+                lr = win_read - dpi * B_loc
+                mine = (lr >= 0) & (lr < B_loc)
+                contrib = jnp.where(mine[:, None], contrib, 0.0)
+                dense_rows = jnp.concatenate([dense_rows, contrib], 0)
+                dense_reads = jnp.concatenate(
+                    [dense_reads, jnp.where(mine, lr, B_loc - 1)], 0)
             te, ts, _, nm = finalize_postings_local(
-                light_pairs[0], lrows, dense_rows, hreads[0, 0], lengths,
-                thr, offs[0], k, K, True)
+                light_pairs[0], lrows, dense_rows, dense_reads, lengths,
+                thr, offs[0], k, K,
+                dense_rows.shape[0] <= B_loc // 2)
             # exact |L|: edges are partitioned across shards
             nm_tot = jax.lax.psum(nm, "mp")
             # exact global top-k over the gathered mp*K candidates;
@@ -166,18 +200,25 @@ class PostingsShardedPlacement:
             return (jnp.where(valid, top_e, -1).astype(jnp.int32),
                     top_s, lwr, nm_tot)
 
+        table_specs = (P("mp", None, None), P("mp", None), P("mp"),
+                       P("mp", None, None), P("mp"))
+        batch_specs = (P("dp", None), P("dp"),
+                       P("dp", "mp", None), P("dp", "mp", None))
+        out_specs = (P("dp", None), P("dp", None), P("dp", None),
+                     P("dp"))
+        # outputs are mp-replicated by construction (all_gather /
+        # psum over "mp"), but the static vma checker can't infer
+        # replication through the tiled all_gather
         self._step = jax.jit(shard_map(
-            shard_step, mesh=mesh,
-            in_specs=(P("mp", None, None), P("mp", None), P("mp"),
-                      P("mp", None, None), P("mp"),
-                      P("dp", None), P("dp"),
-                      P("dp", "mp", None), P("dp", "mp", None)),
-            out_specs=(P("dp", None), P("dp", None), P("dp", None),
-                       P("dp")),
-            # outputs are mp-replicated by construction (all_gather /
-            # psum over "mp"), but the static vma checker can't infer
-            # replication through the tiled all_gather
-            check_vma=False))
+            lambda *a: shard_body(*a, None), mesh=mesh,
+            in_specs=table_specs + batch_specs,
+            out_specs=out_specs, check_vma=False))
+        amb_specs = (P("mp", None), P("mp", None), P(None), P(None),
+                     P(None), P(None))
+        self._step_amb = jax.jit(shard_map(
+            lambda *a: shard_body(*a[:-6], a[-6:]), mesh=mesh,
+            in_specs=table_specs + batch_specs + amb_specs,
+            out_specs=out_specs, check_vma=False))
 
     # ---------------------------------------------------------------- #
     def _heavy_hits(self, codes: np.ndarray, lengths: np.ndarray):
@@ -220,16 +261,56 @@ class PostingsShardedPlacement:
         return rows, reads
 
     # ---------------------------------------------------------------- #
-    def score(self, codes: np.ndarray, lengths: np.ndarray) -> BatchResult:
-        """codes int8[B, L] (B divisible by dp), pure-ACGT reads."""
+    def _map_amb(self, amb_host):
+        """Host ambiguity spec (raw k-mer indices + window metadata,
+        engine._expand_ambiguities_host) -> padded per-shard device
+        inputs for ``_step_amb``."""
+        kidx, alt_win, win_read, win_inv_w, is_mean = amb_host
+        mp = len(self._light_keys)
+        n_alt = kidx.shape[0]
+        n_win = win_read.shape[0]
+        na = max(8, 1 << int(np.ceil(np.log2(max(n_alt, 1)))))
+        nw = max(8, 1 << int(np.ceil(np.log2(max(n_win + 1, 1)))))
+        lrows = np.empty((mp, na), np.int32)
+        hrows = np.empty((mp, na), np.int32)
+        for j in range(mp):
+            lk, hk = self._light_keys[j], self._heavy_keys[j]
+            lrows[j] = lk.shape[0]            # pad -> shard miss row
+            hrows[j] = hk.shape[0]
+            lrows[j, :n_alt] = _searchsorted_rows(lk, kidx)
+            hrows[j, :n_alt] = _searchsorted_rows(hk, kidx)
+        aw = np.full(na, nw - 1, np.int32)    # pad alts -> pad window
+        aw[:n_alt] = alt_win
+        wr = np.zeros(nw, np.int32)
+        wr[:n_win] = win_read
+        wi = np.ones(nw, np.float32)
+        wi[:n_win] = win_inv_w
+        wm = np.ones(nw, bool)
+        wm[:n_win] = is_mean
+        sh = lambda *spec: jax.sharding.NamedSharding(self.mesh, P(*spec))
+        return (jax.device_put(lrows, sh("mp", None)),
+                jax.device_put(hrows, sh("mp", None)),
+                jax.device_put(aw, sh()), jax.device_put(wr, sh()),
+                jax.device_put(wi, sh()), jax.device_put(wm, sh()))
+
+    def score_async(self, codes: np.ndarray, lengths: np.ndarray,
+                    amb_host=None):
+        """codes int8[B, L] (B divisible by dp); ``amb_host`` is the
+        engine's host-side ambiguity expansion (or None)."""
         rows, reads = self._heavy_hits(codes, lengths)
         sh = lambda *spec: jax.sharding.NamedSharding(self.mesh, P(*spec))
-        te, ts, lwr, nm = self._step(
-            self.light_pairs, self.rof, self.nl_dev, self.H,
-            self.offs_dev,
-            jax.device_put(codes, sh("dp", None)),
-            jax.device_put(lengths, sh("dp")),
-            jax.device_put(rows, sh("dp", "mp", None)),
-            jax.device_put(reads, sh("dp", "mp", None)))
+        args = (self.light_pairs, self.rof, self.nl_dev, self.H,
+                self.offs_dev,
+                jax.device_put(codes, sh("dp", None)),
+                jax.device_put(lengths, sh("dp")),
+                jax.device_put(rows, sh("dp", "mp", None)),
+                jax.device_put(reads, sh("dp", "mp", None)))
+        if amb_host is None:
+            return self._step(*args)
+        return self._step_amb(*args, *self._map_amb(amb_host))
+
+    def score(self, codes: np.ndarray, lengths: np.ndarray,
+              amb_host=None) -> BatchResult:
+        te, ts, lwr, nm = self.score_async(codes, lengths, amb_host)
         return BatchResult(np.asarray(te), np.asarray(ts),
                            np.asarray(lwr), np.asarray(nm))

@@ -225,6 +225,17 @@ def host_kmer_indices(codes: np.ndarray, lengths: np.ndarray, k: int,
     return np.where(amb, dtype(-1), idx)
 
 
+def searchsorted_rows(keys: np.ndarray, kidx: np.ndarray) -> np.ndarray:
+    """Sorted-key lookup: hit -> position, miss -> len(keys) (the
+    trailing all-zero pad row) -- host mirror of :func:`compact_rows`."""
+    n = keys.shape[0]
+    if n == 0:
+        return np.zeros(kidx.shape, np.int32)
+    pos = np.searchsorted(keys, kidx)
+    hit = (pos < n) & (keys[np.clip(pos, 0, n - 1)] == kidx)
+    return np.where(hit, pos, n).astype(np.int32)
+
+
 def pack_reads(codes: np.ndarray) -> np.ndarray:
     """Host-side 2-bit packing of int8 state codes (no ambiguities);
     negative codes pack as 0 (their windows are masked by length)."""
@@ -524,39 +535,12 @@ class PlacementEngine:
                  table: str = "auto", postings_width: int = 8):
         from rappas_tpu.utils import enable_compile_cache
         enable_compile_cache()
-        self.db = db
-        self.k = db.k
-        self.alphabet = db.alphabet
-        self.keep_at_most = keep_at_most
-        self.treat_ambiguities = treat_ambiguities
-        self.ambiguities_with_max = ambiguities_with_max
-        self.precision = precision
-        self.thr = jnp.float32(db.thr_log10)
-        if table == "auto":
-            itemsize = 2 if precision == "u16" else 4
-            dense_bytes = (self.alphabet.n_states ** self.k *
-                           db.n_edge_slots * itemsize)
-            compact_bytes = (db.n_kmers + 1) * db.n_edge_slots * itemsize
-            if dense_bytes <= max(self.DIRECT_BYTE_LIMIT,
-                                  2 * compact_bytes):
-                table = "direct"
-            elif compact_bytes <= self.DIRECT_BYTE_LIMIT:
-                table = "compact"
-            else:
-                # large-tree regime: even one row per present k-mer is
-                # too wide; switch to the light/heavy postings layout
-                table = "postings"
+        self._init_params(db, keep_at_most, treat_ambiguities,
+                          ambiguities_with_max, precision)
+        table = self.resolve_table(db, table, precision,
+                                   self.DIRECT_BYTE_LIMIT)
         self.table = table
-        if (table in ("compact", "postings") and
-                self.alphabet.n_states ** self.k > 2 ** 31 - 1 and
-                not jax.config.read("jax_enable_x64")):
-            # k-mer indices need >31 bits (e.g. amino k=8: 20^8); jax
-            # truncates int64 to int32 unless x64 is on.  int64 lookups
-            # are emulated on TPU -- acceptable for the protein niche.
-            jax.config.update("jax_enable_x64", True)
-        if precision not in ("f32", "u16"):
-            raise ValueError(f"precision must be f32 or u16, got "
-                             f"{precision!r}")
+        self._maybe_enable_x64(table)
         if table == "direct":
             if precision == "u16":
                 dense, scale = db.dense_matrix_u16(pad_rows=1)
@@ -617,6 +601,54 @@ class PlacementEngine:
         self.scale = jnp.float32(scale)
         self.n_rows = dense.shape[0]
         self.D = jax.device_put(dense, device)
+        self._init_host_codec()
+
+    # -------------------------------------------------------------- #
+    def _init_params(self, db: PhyloKmerDB, keep_at_most: int,
+                     treat_ambiguities: bool, ambiguities_with_max: bool,
+                     precision: str) -> None:
+        if precision not in ("f32", "u16"):
+            raise ValueError(f"precision must be f32 or u16, got "
+                             f"{precision!r}")
+        self.db = db
+        self.k = db.k
+        self.alphabet = db.alphabet
+        self.keep_at_most = keep_at_most
+        self.treat_ambiguities = treat_ambiguities
+        self.ambiguities_with_max = ambiguities_with_max
+        self.precision = precision
+        self.thr = jnp.float32(db.thr_log10)
+
+    @classmethod
+    def resolve_table(cls, db: PhyloKmerDB, table: str, precision: str,
+                      direct_byte_limit: int) -> str:
+        """'auto' -> the concrete device layout for this DB size (the
+        TPU analog of the reference's direct-vs-hashed capacity choice,
+        ``CustomHash_v4_FastUtil81.java:49-63``)."""
+        if table != "auto":
+            return table
+        itemsize = 2 if precision == "u16" else 4
+        dense_bytes = (db.alphabet.n_states ** db.k *
+                       db.n_edge_slots * itemsize)
+        compact_bytes = (db.n_kmers + 1) * db.n_edge_slots * itemsize
+        if dense_bytes <= max(direct_byte_limit, 2 * compact_bytes):
+            return "direct"
+        if compact_bytes <= direct_byte_limit:
+            return "compact"
+        # large-tree regime: even one row per present k-mer is too
+        # wide; switch to the light/heavy postings layout
+        return "postings"
+
+    def _maybe_enable_x64(self, table: str) -> None:
+        if (table in ("compact", "postings") and
+                self.alphabet.n_states ** self.k > 2 ** 31 - 1 and
+                not jax.config.read("jax_enable_x64")):
+            # k-mer indices need >31 bits (e.g. amino k=8: 20^8); jax
+            # truncates int64 to int32 unless x64 is on.  int64 lookups
+            # are emulated on TPU -- acceptable for the protein niche.
+            jax.config.update("jax_enable_x64", True)
+
+    def _init_host_codec(self) -> None:
         # max ambiguities per k-mer: floor(k^(1/S))
         # (AmbigSequenceKnife.java:95)
         self.max_ambig = int(np.floor(
@@ -633,6 +665,18 @@ class PlacementEngine:
                           for c in a.ambiguities}
         for c in list(a.ambiguities):
             self._amb_alts[ord(c.lower())] = a.ambiguity_codes(c)
+
+    # -------------------------------------------------------------- #
+    # device-placement hooks; the mesh-aware subclass
+    # (rappas_tpu.parallel.engine.ShardedEngine) overrides these to
+    # shard batch inputs over the dp axis and replicate the rest
+    def _put_batch(self, x):
+        """Per-read arrays (leading axis == batch)."""
+        return jnp.asarray(x)
+
+    def _put_repl(self, x):
+        """Batch-independent device inputs (ambiguity specs etc.)."""
+        return jnp.asarray(x)
 
     # -------------------------------------------------------------- #
     def encode_batch(self, matrix: np.ndarray) -> np.ndarray:
@@ -661,8 +705,27 @@ class PlacementEngine:
         codes = self.encode_batch(matrix)
         amb = (self._expand_ambiguities(codes, matrix, lengths)
                if self.treat_ambiguities else None)
+        # pure-ACGT fast path (direct table): ship 2-bit packed reads --
+        # 4x less H2D traffic and the exact pipeline bench.py times.
+        # Valid only when no in-length position is ambiguous or invalid
+        # (negative codes pack as 0 == 'A' and would fabricate k-mers).
+        if (self.table == "direct" and amb is None and
+                self.alphabet.n_states == 4 and
+                not ((codes < 0) &
+                     (np.arange(L)[None, :] < lengths[:, None])).any()):
+            packed = pack_reads(codes)
+            lens_dev = self._put_batch(lengths)
+            rows = kmer_rows_packed(self._put_batch(packed),
+                                    lens_dev, self.k, 4,
+                                    self.n_rows, L)
+            acc = accumulate(self.D, rows) * self.scale
+            out = finalize(acc, lens_dev, self.thr,
+                           self.k, self.keep_at_most)
+            for o in out:
+                o.copy_to_host_async()
+            return PendingBatch(out)
         if self.table == "postings":
-            codes_dev = jnp.asarray(codes)
+            codes_dev = self._put_batch(codes)
             S = self.alphabet.n_states
             if self.rof_dev is not None:
                 kidx32 = kmer_rows(codes_dev, self.k, S, S ** self.k + 1)
@@ -697,29 +760,30 @@ class PlacementEngine:
                 # degenerate width-0 split: everything is heavy-dense
                 dense_acc = jnp.zeros((B, E), jnp.float32).at[
                     dense_reads].add(dense_rows)
-                out = finalize(dense_acc, jnp.asarray(lengths), self.thr,
-                               self.k, self.keep_at_most)
+                out = finalize(dense_acc, self._put_batch(lengths),
+                               self.thr, self.k, self.keep_at_most)
             else:
                 # dense-at-light-edges gather: per source when sources
                 # are rare, per read otherwise (pure count minimisation)
                 lowrank = dense_rows.shape[0] <= B // 2
                 out = finalize_postings(self.light_pairs, lrows,
                                         dense_rows, dense_reads,
-                                        jnp.asarray(lengths), self.thr,
+                                        self._put_batch(lengths),
+                                        self.thr,
                                         self.k, self.keep_at_most,
                                         lowrank)
         else:
             if self.table == "direct":
-                rows = kmer_rows(jnp.asarray(codes), self.k,
+                rows = kmer_rows(self._put_batch(codes), self.k,
                                  self.alphabet.n_states, self.n_rows)
             else:
-                idx = kmer_indices64(jnp.asarray(codes), self.k,
+                idx = kmer_indices64(self._put_batch(codes), self.k,
                                      self.alphabet.n_states)
                 rows = compact_rows(self.keys_dev, idx)
             acc = accumulate(self.D, rows) * self.scale
             if amb is not None:
                 acc = self._apply_ambiguities(amb, acc)
-            out = finalize(acc, jnp.asarray(lengths), self.thr,
+            out = finalize(acc, self._put_batch(lengths), self.thr,
                            self.k, self.keep_at_most)
         for o in out:
             o.copy_to_host_async()
@@ -728,6 +792,19 @@ class PlacementEngine:
     # -------------------------------------------------------------- #
     def _expand_ambiguities(self, codes: np.ndarray, matrix: np.ndarray,
                             lengths: np.ndarray):
+        """Host expansion + device placement (see the _host variant)."""
+        h = self._expand_ambiguities_host(codes, matrix, lengths)
+        if h is None:
+            return None
+        kidx, alt_win, win_read, win_inv_w, is_mean = h
+        return (self._map_alt_rows(kidx),
+                self._put_repl(alt_win),
+                self._put_repl(win_read),
+                self._put_repl(win_inv_w),
+                self._put_repl(is_mean))
+
+    def _expand_ambiguities_host(self, codes: np.ndarray,
+                                 matrix: np.ndarray, lengths: np.ndarray):
         """Expand IUPAC windows into alternative k-mer rows (host side).
 
         Alternative generation reproduces the reference's cycling scheme
@@ -775,12 +852,11 @@ class PlacementEngine:
                 n_win += 1
         if n_win == 0:
             return None
-        kidx = np.concatenate(alt_rows)          # raw k-mer indices
-        return (self._map_alt_rows(kidx),
-                jnp.asarray(np.concatenate(alt_win)),
-                jnp.asarray(np.array(win_read, np.int32)),
-                jnp.asarray(np.array(win_inv_w, np.float32)),
-                jnp.full(n_win, is_mean, bool))
+        return (np.concatenate(alt_rows),        # raw k-mer indices
+                np.concatenate(alt_win),
+                np.array(win_read, np.int32),
+                np.array(win_inv_w, np.float32),
+                np.full(n_win, is_mean, bool))
 
     def _host_kmer_indices(self, codes: np.ndarray,
                            lengths: np.ndarray) -> np.ndarray:
@@ -820,30 +896,22 @@ class PlacementEngine:
         reads = np.full(n_pad, codes.shape[0] - 1, np.int32)
         rows[:n] = hrows_all[hit]
         reads[:n] = b_ids                          # ascending (row-major)
-        return jnp.asarray(rows), jnp.asarray(reads)
+        return self._put_repl(rows), self._put_repl(reads)
 
-    @staticmethod
-    def _searchsorted_rows(keys: np.ndarray, kidx: np.ndarray):
-        """Sorted-key lookup: hit -> position, miss -> len(keys) (the
-        trailing all-zero pad row) -- host mirror of ``compact_rows``."""
-        n = keys.shape[0]
-        if n == 0:
-            return np.zeros(kidx.shape, np.int32)
-        pos = np.searchsorted(keys, kidx)
-        hit = (pos < n) & (keys[np.clip(pos, 0, n - 1)] == kidx)
-        return np.where(hit, pos, n).astype(np.int32)
+    _searchsorted_rows = staticmethod(
+        lambda keys, kidx: searchsorted_rows(keys, kidx))
 
     def _map_alt_rows(self, kidx: np.ndarray):
         """Raw alternative k-mer indices -> per-table row spec."""
         if self.table == "direct":
-            return (jnp.asarray(kidx.astype(np.int32)),)
+            return (self._put_repl(kidx.astype(np.int32)),)
         if self.table == "compact":
-            return (jnp.asarray(self._searchsorted_rows(self.db.keys,
-                                                        kidx)),)
-        return (jnp.asarray(self._searchsorted_rows(self._light_keys_np,
-                                                    kidx)),
-                jnp.asarray(self._searchsorted_rows(self._heavy_keys_np,
-                                                    kidx)))
+            return (self._put_repl(self._searchsorted_rows(self.db.keys,
+                                                           kidx)),)
+        return (self._put_repl(self._searchsorted_rows(
+                    self._light_keys_np, kidx)),
+                self._put_repl(self._searchsorted_rows(
+                    self._heavy_keys_np, kidx)))
 
     def _apply_ambiguities(self, amb, acc):
         """Dense modes: add window contributions into the accumulator."""

@@ -49,6 +49,10 @@ class PlacementConfig:
     invocation: str = "rappas-tpu"
     precision: str = "f32"
     table: str = "auto"
+    #: (host_id, num_hosts) -- this process places only its round-robin
+    #: shard of the reads and writes ``placements_<q>.jplace.part<id>``
+    #: (multi-host mode; rank 0 merges, see rappas_tpu.cli)
+    read_shard: tuple | None = None
 
 
 def place_queries(db: PhyloKmerDB, query_path, workdir,
@@ -78,16 +82,25 @@ def place_queries(db: PhyloKmerDB, query_path, workdir,
     t0 = time.time()
     counts = {"total": 0, "unique": 0, "unplaced": 0}
 
-    tsv = open(logs / f"placements_{qname}.tsv", "w") if config.write_tsv \
-        else None
+    suffix = ("" if config.read_shard is None
+              else f".part{config.read_shard[0]}")
+    tsv = open(logs / f"placements_{qname}.tsv{suffix}", "w") \
+        if config.write_tsv else None
     if tsv:
         tsv.write("Query\tARTree_NodeId\tARTree_NodeName\t"
                   "ExtendedTree_NodeId\tExtendedTree_NodeName\t"
                   "Original_NodeId\tOriginal_NodeName\tPP*\n")
-    notplaced = open(logs / f"notplaced_{qname}.tsv", "w")
+    notplaced = open(logs / f"notplaced_{qname}.tsv{suffix}", "w")
+
+    def sharded_reads():
+        reads = read_sequences(query_path)
+        if config.read_shard is None:
+            return reads
+        from rappas_tpu.parallel.distributed import shard_reads
+        return shard_reads(reads, *config.read_shard)
 
     def unique_reads():
-        for order, (header, seq) in enumerate(read_sequences(query_path)):
+        for order, (header, seq) in enumerate(sharded_reads()):
             counts["total"] += 1
             key = md5_checksum(seq)
             prev = seen.get(key)
@@ -148,7 +161,7 @@ def place_queries(db: PhyloKmerDB, query_path, workdir,
         tsv.close()
     notplaced.close()
 
-    out = workdir / f"placements_{qname}.jplace"
+    out = workdir / f"placements_{qname}.jplace{suffix}"
     writer.write(out)
     dt = time.time() - t0
     log(f"{counts['total']} queries ({counts['unique']} unique, "

@@ -142,6 +142,29 @@ def test_packed_path_matches_int8(db, engine):
     assert np.array_equal(r_int8, r_packed)
 
 
+def test_engine_packed_fast_path_equals_general(db, engine):
+    """score() takes the 2-bit packed branch for pure-ACGT batches
+    (the pipeline the CLI and bench.py share); a batch containing any
+    ambiguity must fall back to the general path.  Both must agree with
+    each other and the oracle."""
+    rng = np.random.default_rng(11)
+    pure = random_reads(12, rng)
+    mat, lens = batch_of(pure)
+    res_fast = engine.score(mat, lens)
+    # force the general path by disabling the direct table
+    eng_c = PlacementEngine(db, table="compact")
+    res_slow = eng_c.score(mat, lens)
+    assert np.array_equal(res_fast.top_edges, res_slow.top_edges)
+    assert np.array_equal(res_fast.n_matched, res_slow.n_matched)
+    assert np.allclose(res_fast.top_scores, res_slow.top_scores,
+                       atol=2e-4, equal_nan=True)
+    # one ambiguous read anywhere in the batch -> general path for all,
+    # ambiguity windows still scored
+    mixed = pure[:6] + ["".join("ACGT"[c] for c in rng.integers(0, 4, 9))
+                        .replace("A", "N", 1)]
+    compare(db, engine, mixed)
+
+
 def test_compact_table_matches_oracle(db):
     engine = PlacementEngine(db, table="compact")
     rng = np.random.default_rng(11)
