@@ -192,7 +192,11 @@ def build_database(ref_align_path, ref_tree_path, workdir,
     # 7. k-mer enumeration
     db = generate_kmers(ar, extended, ext_align, original, alphabet,
                         config, gap_jumps)
+    if not config.only_fake_nodes:
+        db.meta["orinodes_resolution"] = orinodes_resolution_table(
+            ar, extended, original)
     db.meta.update({
+        "only_fake_nodes": config.only_fake_nodes,
         "build_seconds": round(time.time() - t0, 3),
         "gap_jumps": bool(gap_jumps),
         "ghosts": config.ghosts,
@@ -211,6 +215,59 @@ def build_database(ref_align_path, ref_tree_path, workdir,
     log(f"DB saved: {out} ({db.n_kmers} kmers, {db.nnz} postings, "
         f"{time.time() - t0:.1f}s total)")
     return db
+
+
+def orinodes_resolution_table(ar: ARResults, extended,
+                              original: Tree) -> dict:
+    """Ghost-neighbor resolution table for ``--original-nodes`` DBs.
+
+    The reference resolves a best edge that is an *original* node to an
+    adjacent ghost at placement time (``PlacementProcess.java:856-916``):
+    ``secondBestNodeId`` is never assigned in ``processQueries`` (always
+    -1), so the live path is ALWAYS the arbitrary child-0 fallback --
+    ``ARTree.getById(best).getChildAt(0)`` (``:880-884``), whose extended
+    counterpart must be a ghost X0 -- then maps it back through
+    ``nodeMapping`` / ``getFakeToOriginalId``.  The ported
+    ``Tree.shortest_path`` exists for the dead branch; the live decision
+    is precomputed here, TPU-style, as a per-node table stored in the DB.
+
+    For each original-tree node id this returns
+    ``[ar_id, ar_label, ext_id, ext_label, resolved_original_id]`` of
+    the chosen ghost.  Deviation (documented): when the best node is a
+    *leaf* edge the reference crashes (``getChildAt(0)`` on a leaf);
+    here the leaf resolves to the X0 ghost on its own edge (the ghost
+    whose postings produced the hit).
+    """
+    ext_to_ar = {e: a for a, e in ar.ar_to_extended.items()}
+    table = {}
+    for node in original.nodes:
+        ext_node = extended.by_id(node.id)
+        ghost_ext = None
+        if not node.is_leaf:
+            # the reference's child-0 choice (:884), hardened: if the AR
+            # program reordered children so child 0 is not a ghost, take
+            # the first ghost child ("Something went wrong in neighboor
+            # node search" exit, PlacementProcess.java:905-908, would
+            # otherwise fire per read at placement)
+            ar_node = ar.ar_tree.by_id(ext_to_ar[node.id])
+            for child in ar_node.children:
+                cand = extended.by_id(ar.ar_to_extended[child.id])
+                if cand.is_fake:
+                    ghost_ext = cand
+                    break
+        if ghost_ext is None and ext_node.parent is not None and \
+                ext_node.parent.is_fake:
+            # leaf edge (reference crashes here: getChildAt(0) on a
+            # leaf) -- resolve to the X0 ghost on the node's own edge
+            ghost_ext = ext_node.parent
+        if ghost_ext is None:
+            continue          # unresolvable: placement reports raw ids
+        ar_id = ext_to_ar[ghost_ext.id]
+        table[str(node.id)] = [
+            int(ar_id), ar.ar_tree.by_id(ar_id).label,
+            int(ghost_ext.id), ghost_ext.label,
+            int(extended.fake_to_original_id(ghost_ext.id))]
+    return table
 
 
 def generate_kmers(ar: ARResults, extended, ext_align, original: Tree,

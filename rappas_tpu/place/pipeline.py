@@ -90,6 +90,13 @@ def place_queries(db: PhyloKmerDB, query_path, workdir,
         tsv.write("Query\tARTree_NodeId\tARTree_NodeName\t"
                   "ExtendedTree_NodeId\tExtendedTree_NodeName\t"
                   "Original_NodeId\tOriginal_NodeName\tPP*\n")
+    # --original-nodes DBs: the best edge resolves to an adjacent ghost
+    # whose AR/extended mapping fills the TSV columns
+    # (PlacementProcess.java:856-962; precomputed at build, see
+    # rappas_tpu.build.pipeline.orinodes_resolution_table); default DBs
+    # leave the four mapping columns empty exactly like the reference's
+    # onlyFakes branch (PlacementProcess.java:951-959)
+    resolution = db.meta.get("orinodes_resolution")
     notplaced = open(logs / f"notplaced_{qname}.tsv{suffix}", "w")
 
     def sharded_reads():
@@ -143,9 +150,17 @@ def place_queries(db: PhyloKmerDB, query_path, workdir,
             seen[key] = placement
             if tsv:
                 best = int(res.top_edges[i][0])
-                tsv.write(f"{header.split(' ')[0]}\t\t\t\t\t{best}\t"
-                          f"{arr.labels[best]}\t"
-                          f"{float(np.float32(res.top_scores[i][0]))}\n")
+                score = float(np.float32(res.top_scores[i][0]))
+                q = header.split(" ")[0]
+                r = resolution.get(str(best)) if resolution else None
+                if r is not None:
+                    ar_id, ar_lbl, ext_id, ext_lbl, orig = r
+                    tsv.write(f"{q}\t{ar_id}\t{ar_lbl}\t{ext_id}\t"
+                              f"{ext_lbl}\t{orig}\t"
+                              f"{arr.labels[orig]}\t{score}\n")
+                else:
+                    tsv.write(f"{q}\t\t\t\t\t{best}\t"
+                              f"{arr.labels[best]}\t{score}\n")
 
     # keep a few batches in flight: device compute and both transfer
     # directions overlap with the host-side jplace assembly

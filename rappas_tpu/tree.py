@@ -181,6 +181,53 @@ class Tree:
         return mapping
 
     # -------------------------------------------------------------- #
+    def shortest_path(self, a: Node, b: Node):
+        """Port of ``PhyloTree.shortestPath`` (PhyloTree.java:586-673).
+
+        Returns ``(path, node_dist, branch_dist)`` where ``path`` is the
+        node list from ``a`` to ``b`` (both included; LCA included once),
+        ``node_dist`` counts intermediate nodes + the LCA like the
+        reference, and ``branch_dist`` is the f32-accumulated branch
+        length along the path (same summation order).
+        """
+        def path_from_root(n: Node) -> list[Node]:
+            # DefaultMutableTreeNode.getPath(): [root, ..., n]
+            out = []
+            while n is not None:
+                out.append(n)
+                n = n.parent
+            return out[::-1]
+
+        pa = path_from_root(a)
+        pb = path_from_root(b)
+        lca_index = -1
+        shortest = min(len(pa), len(pb))
+        for i in range(shortest):
+            if pa[i] is not pb[i]:
+                lca_index = i - 1
+                break
+        if lca_index == -1:
+            lca_index = shortest - 1
+
+        path: list[Node] = []
+        branch_dist = np.float32(0.0)
+        node_dist = 0
+        for i in range(len(pa) - 1, lca_index, -1):
+            path.append(pa[i])
+            branch_dist = np.float32(branch_dist + pa[i].branch_len)
+            if i > lca_index and i != len(pa) - 1:
+                node_dist += 1
+        for i in range(lca_index, len(pb)):
+            path.append(pb[i])
+            if i > lca_index:
+                branch_dist = np.float32(branch_dist + pb[i].branch_len)
+            if i > lca_index and i != len(pb) - 1:
+                node_dist += 1
+        if len(path) > 1:
+            node_dist += 1   # the LCA itself (PhyloTree.java:661-662)
+        return path, node_dist, float(branch_dist)
+
+    # -------------------------------------------------------------- #
     def copy(self) -> "Tree":
         def cp(n: Node) -> Node:
             m = Node(n.id, n.label, float(n.branch_len), n.jplace_edge_id,
