@@ -304,17 +304,14 @@ def generate_kmers(ar: ARResults, extended, ext_align, original: Tree,
 
     def fold():
         nonlocal all_codes, all_edges, all_sums, pending
-        codes = np.concatenate(all_codes)
-        edges = np.concatenate(all_edges)
-        sums = np.concatenate(all_sums)
-        order = np.lexsort((-sums, edges, codes))
-        c, e, s = codes[order], edges[order], sums[order]
-        first = np.ones(c.shape[0], bool)
-        first[1:] = (c[1:] != c[:-1]) | (e[1:] != e[:-1])
-        all_codes = [c[first]]
-        all_edges = [e[first]]
-        all_sums = [s[first]]
-        pending = all_codes[0].size
+        from rappas_tpu.db import max_merge_tuples
+        c, e, s = max_merge_tuples(np.concatenate(all_codes),
+                                   np.concatenate(all_edges),
+                                   np.concatenate(all_sums))
+        all_codes = [c]
+        all_edges = [e]
+        all_sums = [s]
+        pending = c.size
 
     def explore_one(node_id: int):
         P = ar.probas[node_id]
@@ -339,12 +336,25 @@ def generate_kmers(ar: ARResults, extended, ext_align, original: Tree,
         raw_total += codes.size
         if codes.size:
             # per-node dedup: multiple start positions emit the same
-            # k-mer; keep the max (same edge for the whole node)
-            order = np.lexsort((-sums, codes))
-            c, s = codes[order], sums[order]
-            first = np.ones(c.shape[0], bool)
-            first[1:] = c[1:] != c[:-1]
-            c, s = c[first], s[first]
+            # k-mer; keep the max (same edge for the whole node).
+            # torch sort releases the GIL, so the pool workers overlap
+            try:
+                import torch
+                sc, order = torch.sort(torch.from_numpy(
+                    codes.astype(np.int64, copy=False)))
+                c = sc.numpy()
+                s = sums[order.numpy()]
+                first = np.ones(c.shape[0], bool)
+                np.not_equal(c[1:], c[:-1], out=first[1:])
+                starts = np.flatnonzero(first)
+                s = np.maximum.reduceat(s, starts)
+                c = c[starts]
+            except ImportError:  # pragma: no cover
+                order = np.lexsort((-sums, codes))
+                c, s = codes[order], sums[order]
+                first = np.ones(c.shape[0], bool)
+                first[1:] = c[1:] != c[:-1]
+                c, s = c[first], s[first]
             all_codes.append(c)
             all_sums.append(s)
             all_edges.append(np.full(c.shape[0], orig_id, np.int32))

@@ -26,6 +26,65 @@ def node_distance(arr, a, b):
 
 
 @pytest.mark.slow
+def test_pewo_style_expected_node_distance(tmp_path):
+    """PEWO-style accuracy on a 120-taxon simulated dataset: reads WITH
+    sequencing errors (0.5%) sampled from leaves, placed against a DB
+    built through the full pipeline (PhyML AR), scored by expected node
+    distance between the best edge and the true source leaf edge --
+    the criterion PEWO uses to benchmark the reference externally
+    (reference README.md:33, SURVEY.md section 4).
+
+    Thresholds: measured mean eND 0.115 / 99.7% within distance 2 at
+    this seed (see docs/PERF.md); asserted at mean <= 0.5 and >= 95%
+    within 2 to keep headroom for fp/toolchain drift while still
+    catching any real accuracy regression (a broken scorer pushes the
+    mean over 2 immediately).
+    """
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(
+        __file__).parent.parent / "scripts"))
+    import simulate
+
+    from rappas_tpu.build.pipeline import BuildConfig, build_database
+
+    rng = np.random.default_rng(42)
+    nwk = simulate.random_tree(120, rng)
+    (tmp_path / "ref.tree").write_text(nwk + "\n")
+    seqs = simulate.evolve(nwk, 800, rng)
+    with open(tmp_path / "ref_align.fasta", "w") as f:
+        for taxon in sorted(seqs):
+            f.write(f">{taxon}\n"
+                    f"{simulate.BASES[seqs[taxon]].tobytes().decode()}\n")
+    reads = simulate.make_reads(seqs, 512, 150, 0.005, rng)
+
+    db = build_database(
+        tmp_path / "ref_align.fasta", tmp_path / "ref.tree", tmp_path,
+        BuildConfig(ar_binary="/root/reference/bindep/phyml_x64"))
+    arr = db.arrays
+    engine = PlacementEngine(db)
+    label_to_id = {lb: i for i, lb in enumerate(arr.labels) if lb}
+
+    mat = np.full((len(reads), 150), 0xFF, np.uint8)
+    lens = np.zeros(len(reads), np.int32)
+    srcs = []
+    for i, (header, r) in enumerate(reads):
+        mat[i, :r.shape[0]] = simulate.BASES[r]
+        lens[i] = r.shape[0]
+        srcs.append(label_to_id[header.split("src=")[1].split(" ")[0]])
+    res = engine.score(mat, lens)
+
+    dists = []
+    for i in range(len(reads)):
+        assert res.n_matched[i] > 0, f"read {i} unplaced"
+        dists.append(node_distance(arr, int(res.top_edges[i][0]),
+                                   srcs[i]))
+    dists = np.asarray(dists)
+    assert dists.mean() <= 0.5, f"mean eND {dists.mean():.3f}"
+    assert (dists <= 2).mean() >= 0.95, \
+        f"within-2 rate {(dists <= 2).mean():.3f}"
+
+
+@pytest.mark.slow
 def test_reads_place_near_origin(tiny_db, fixtures_dir):
     db = tiny_db
     arr = db.arrays
