@@ -63,8 +63,10 @@ def main():
     from rappas_tpu.utils import enable_compile_cache
 
     enable_compile_cache()
-    B = 16384          # reads per device step (best measured gather rate)
-    STEPS = 16         # steps per host<->device chunk
+    B = 8192           # reads per device step (sweet spot of the batch
+    #                    sweep in scripts/scaling_probe.py --device:
+    #                    8192 > 16384 by ~6% on the v5e gather path)
+    STEPS = 32         # steps per host<->device chunk
     L = 150
     chunks = 6
     warmup = 1
@@ -163,7 +165,7 @@ def main():
     packed_dev = jnp.asarray(packed_np)
     lens_dev = jnp.asarray(lens_np)
 
-    def device_window(n_steps=48):
+    def device_window(n_steps=96):
         out = None
         t0 = time.time()
         for i in range(n_steps):
