@@ -10,16 +10,19 @@ import os
 # The environment pins JAX_PLATFORMS to the tunneled TPU backend and a
 # sitecustomize hook pre-imports jax, so a plain env-var default is not
 # enough -- override the platform through the config API and size the
-# virtual CPU mesh before the CPU client initialises.
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+# virtual CPU mesh before the CPU client initialises.  The opt-in
+# on-device smoke run (tests/test_device_smoke.py) must keep the real
+# backend, so the pin is skipped when that gate is set.
+if os.environ.get("RAPPAS_TPU_DEVICE_TESTS") != "1":
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
-import jax  # noqa: E402
+    import jax
 
-jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")
 
 import pathlib  # noqa: E402
 
