@@ -293,87 +293,135 @@ def generate_kmers(ar: ARResults, extended, ext_align, original: Tree,
             log(f"native explorer unavailable ({e}); using the slow "
                 "python port", level=0)
 
-    all_codes, all_edges, all_sums = [], [], []
-    pending = 0
-    raw_total = 0
-    #: fold accumulated tuples into a deduped set when they exceed this
-    #: (bounds peak host memory for k>=12 builds; the reference instead
-    #: leans on GC + hash trimming at >80% heap, Main_DBBUILD_3.java:
-    #: 676-683)
-    merge_every = 150_000_000
+    # Bucketed two-phase merge.  Workers explore AND dedup their own
+    # node (torch sort releases the GIL, so dedup runs in parallel with
+    # other nodes' exploration); the consumer splits each node's
+    # code-sorted tuples into NB code-range buckets with one
+    # searchsorted (no re-sort); buckets compact independently when
+    # oversized and merge independently at the end.  Concatenating the
+    # merged buckets in range order yields a globally (code, edge)-
+    # sorted unique stream, so CSR assembly is a boundary scan with no
+    # final sort.  This replaced an accumulate-and-refold design whose
+    # re-folds re-sorted the whole accumulated set (quadratic: a
+    # 1000-taxon k=12 build spent hours folding); the reference instead
+    # leans on GC + hash trimming at >80% heap (Main_DBBUILD_3.java:
+    # 676-683, 8-16 GB heaps).
+    from rappas_tpu.db import max_merge_tuples
 
-    def fold():
-        nonlocal all_codes, all_edges, all_sums, pending
-        from rappas_tpu.db import max_merge_tuples
-        c, e, s = max_merge_tuples(np.concatenate(all_codes),
-                                   np.concatenate(all_edges),
-                                   np.concatenate(all_sums))
-        all_codes = [c]
-        all_edges = [e]
-        all_sums = [s]
-        pending = c.size
+    space = alphabet.n_states ** config.k
+    NB = 32
+    bounds = (np.arange(1, NB, dtype=np.int64) * space) // NB
+    b_codes = [[] for _ in range(NB)]
+    b_edges = [[] for _ in range(NB)]
+    b_sums = [[] for _ in range(NB)]
+    b_pending = [0] * NB
+    #: per-bucket compaction cap (~1.2 GB of tuples): bounds any one
+    #: bucket's working set for builds bigger than the k=12/1000-taxon
+    #: regime without ever re-sorting the whole accumulation
+    bucket_cap = 75_000_000
 
     def explore_one(node_id: int):
         P = ar.probas[node_id]
         if use_exact:
             states_sorted, pp_sorted = sort_probas_desc(P)
-            return exact_fn(
+            codes, sums = exact_fn(
                 states_sorted, pp_sorted, config.k, thr,
                 gap_intervals=gap_intervals, do_gap_jumps=gap_jumps,
                 limit_to_1_jump=config.limit_to_1_jump)
-        return explore_node(P, config.k, thr)
+        else:
+            codes, sums = explore_node(P, config.k, thr)
+        raw_n = codes.size
+        if raw_n == 0:
+            return codes.astype(np.int64, copy=False), sums, 0
+        # per-node dedup: multiple start positions emit the same k-mer;
+        # keep the max (one edge per node); output sorted by code
+        try:
+            import torch
+            sc, order = torch.sort(torch.from_numpy(
+                codes.astype(np.int64, copy=False)))
+            c = sc.numpy()
+            s = sums[order.numpy()]
+            first = np.ones(c.shape[0], bool)
+            np.not_equal(c[1:], c[:-1], out=first[1:])
+            starts = np.flatnonzero(first)
+            s = np.maximum.reduceat(s, starts)
+            c = c[starts]
+        except ImportError:  # pragma: no cover - torch is baked in
+            order = np.lexsort((-sums, codes))
+            c, s = codes[order], sums[order]
+            first = np.ones(c.shape[0], bool)
+            first[1:] = c[1:] != c[:-1]
+            c, s = c[first], s[first]
+        return c, s, raw_n
+
+    def fold_bucket(b: int):
+        c, e, s = max_merge_tuples(np.concatenate(b_codes[b]),
+                                   np.concatenate(b_edges[b]),
+                                   np.concatenate(b_sums[b]))
+        b_codes[b] = [c]
+        b_edges[b] = [e]
+        b_sums[b] = [s]
+        b_pending[b] = c.size
 
     import concurrent.futures as cf
     import os
     n_workers = min(8, os.cpu_count() or 1)
-
+    raw_total = 0
     t0 = time.time()
-    pool = cf.ThreadPoolExecutor(n_workers)  # numpy/ctypes release the GIL
-    results = pool.map(explore_one, nodes, chunksize=4)
-    for count, (node_id, (codes, sums)) in enumerate(zip(nodes, results)):
-        ext_id = ar.ar_to_extended[node_id]
-        orig_id = extended.fake_to_original_id(ext_id)
-        raw_total += codes.size
-        if codes.size:
-            # per-node dedup: multiple start positions emit the same
-            # k-mer; keep the max (same edge for the whole node).
-            # torch sort releases the GIL, so the pool workers overlap
-            try:
-                import torch
-                sc, order = torch.sort(torch.from_numpy(
-                    codes.astype(np.int64, copy=False)))
-                c = sc.numpy()
-                s = sums[order.numpy()]
-                first = np.ones(c.shape[0], bool)
-                np.not_equal(c[1:], c[:-1], out=first[1:])
-                starts = np.flatnonzero(first)
-                s = np.maximum.reduceat(s, starts)
-                c = c[starts]
-            except ImportError:  # pragma: no cover
-                order = np.lexsort((-sums, codes))
-                c, s = codes[order], sums[order]
-                first = np.ones(c.shape[0], bool)
-                first[1:] = c[1:] != c[:-1]
-                c, s = c[first], s[first]
-            all_codes.append(c)
-            all_sums.append(s)
-            all_edges.append(np.full(c.shape[0], orig_id, np.int32))
-            pending += c.size
-        if pending > merge_every:
-            fold()
-        if (count + 1) % max(1, len(nodes) // 10) == 0:
-            log(f"  node {count + 1}/{len(nodes)} "
-                f"({time.time() - t0:.1f}s)")
-    pool.shutdown()
+    tick = max(1, len(nodes) // 10)
+    with cf.ThreadPoolExecutor(n_workers) as pool:
+        # bounded sliding window: pool.map would queue every node up
+        # front and buffer results without limit whenever the consumer
+        # stalls on a compaction
+        window = n_workers * 4
+        inflight = {i: pool.submit(explore_one, nodes[i])
+                    for i in range(min(window, len(nodes)))}
+        for count in range(len(nodes)):
+            c, s, raw_n = inflight.pop(count).result()
+            nxt = count + window
+            if nxt < len(nodes):
+                inflight[nxt] = pool.submit(explore_one, nodes[nxt])
+            raw_total += raw_n
+            if c.size:
+                ext_id = ar.ar_to_extended[nodes[count]]
+                orig_id = extended.fake_to_original_id(ext_id)
+                cuts = [0, *np.searchsorted(c, bounds), c.size]
+                for b in range(NB):
+                    lo, hi = cuts[b], cuts[b + 1]
+                    if hi > lo:
+                        b_codes[b].append(c[lo:hi])
+                        b_sums[b].append(s[lo:hi])
+                        b_edges[b].append(
+                            np.full(hi - lo, orig_id, np.int32))
+                        b_pending[b] += hi - lo
+                        if b_pending[b] > bucket_cap:
+                            fold_bucket(b)
+            if (count + 1) % tick == 0:
+                log(f"  node {count + 1}/{len(nodes)} "
+                    f"({time.time() - t0:.1f}s, "
+                    f"{sum(b_pending) / 1e6:.0f}M tuples held)")
 
-    if not all_codes:
-        raise SystemExit("Something went wrong... hash is empty!")
-    codes = np.concatenate(all_codes)
-    edges = np.concatenate(all_edges)
-    sums = np.concatenate(all_sums)
+    def merge_bucket(b: int):
+        if not b_codes[b]:
+            return (np.zeros(0, np.int64), np.zeros(0, np.int32),
+                    np.zeros(0, np.float32))
+        if len(b_codes[b]) == 1:  # already deduped by a fold
+            return b_codes[b][0], b_edges[b][0], b_sums[b][0]
+        return max_merge_tuples(np.concatenate(b_codes[b]),
+                                np.concatenate(b_edges[b]),
+                                np.concatenate(b_sums[b]))
+
+    # 2 threads: torch sort is itself multi-threaded; this just overlaps
+    # its single-threaded numpy pre/post passes
+    with cf.ThreadPoolExecutor(2) as pool:
+        parts = list(pool.map(merge_bucket, range(NB)))
+    codes = np.concatenate([p[0] for p in parts])
+    edges = np.concatenate([p[1] for p in parts])
+    sums = np.concatenate([p[2] for p in parts])
     if codes.size == 0:
         raise SystemExit("Something went wrong... hash is empty!")
-    keys, offsets, e, deltas = build_csr(codes, edges, sums, thr)
+    keys, offsets, e, deltas = build_csr(codes, edges, sums, thr,
+                                         presorted=True)
     log(f"postings: {raw_total} raw tuples -> {e.size} after max-merge, "
         f"{keys.size} kmers")
     return PhyloKmerDB(

@@ -370,17 +370,25 @@ def max_merge_tuples(codes: np.ndarray, edges: np.ndarray,
 
 
 def build_csr(codes: np.ndarray, edges: np.ndarray,
-              scores: np.ndarray, thr_log10: np.float32):
+              scores: np.ndarray, thr_log10: np.float32,
+              presorted: bool = False):
     """Collapse raw (kmer, edge, score) tuples into the CSR postings,
     keeping max score per (kmer, edge) (``CustomHash_v4_FastUtil81.java:
     73-102`` keeps the max at insertion).
+
+    ``presorted=True`` asserts the tuples are already (code, edge)-sorted
+    with unique pairs (the bucketed build merge emits this) and skips
+    the max-merge sort entirely.
 
     Returns (keys, offsets, edges, deltas).
     """
     if codes.size == 0:
         return (np.zeros(0, np.int64), np.zeros(1, np.int64),
                 np.zeros(0, np.int32), np.zeros(0, np.float32))
-    c, e, s = max_merge_tuples(codes, edges, scores)
+    if presorted:
+        c, e, s = codes, edges, scores
+    else:
+        c, e, s = max_merge_tuples(codes, edges, scores)
     # c is sorted: boundary scan instead of np.unique (which re-sorts)
     starts = np.empty(c.shape[0], bool)
     starts[0] = True
