@@ -153,17 +153,17 @@ class ARLauncher:
 
     def _find_paml_dat(self, name: str) -> Path:
         """Locate a PAML amino-acid rate-matrix file (lg.dat, wag.dat,
-        ...).  These ship with PAML itself; search the binary's
-        directory, ``$PAML_DATA``, and known dat locations."""
-        import os
+        ...).  The 9 matrices the model registry references are vendored
+        in ``rappas_tpu/ar/paml_dat/`` (public PAML data files; the
+        reference ships the same set as resources,
+        ``EvolModel.java:199-207``), so a standalone deploy never needs
+        an external search -- ``$PAML_DATA`` and the binary's directory
+        are still honoured as overrides, checked first."""
         candidates = [Path(self.binary).parent / name,
                       Path(self.binary).parent / "dat" / name]
         if os.environ.get("PAML_DATA"):
             candidates.append(Path(os.environ["PAML_DATA"]) / name)
-        candidates += [
-            Path(__file__).parent / "paml_dat" / name,
-            Path("/root/reference/src/models") / name,
-        ]
+        candidates.append(Path(__file__).parent / "paml_dat" / name)
         for c in candidates:
             if c.exists():
                 return c
@@ -241,3 +241,84 @@ class ARLauncher:
             if not p.exists():
                 raise FileNotFoundError(
                     f"expected AR output {kind} file missing: {p}")
+
+    # -------------------------------------------------------------- #
+    def validate_existing(self, ar_dir, align, expected_leaves: set,
+                          expected_sites: int) -> None:
+        """Consistency-check a reused ``--ardir`` against the CURRENT
+        inputs before building a DB from it.
+
+        The reference's ``loadExistingAR`` only tests that the output
+        files exist and are readable (``ARProcessLauncher.java:158-212``),
+        so a stale or mismatched AR directory silently builds a wrong DB
+        there.  Here we additionally verify that
+
+        * the AR tree's leaf-label set equals the current extended
+          alignment's label set (catches: different reference tree,
+          different ghost count, a different run's outputs), and
+        * the AR posterior output covers exactly the current extended
+          alignment's site count (catches: different alignment or a
+          different ``--ratio-reduction``).
+
+        Failures are fail-fast ``SystemExit`` with the mismatch spelled
+        out, matching the reference's error style (SURVEY.md section 5).
+        """
+        self.check_outputs(ar_dir, align)
+        paths = self.output_paths(ar_dir, align)
+        from rappas_tpu.ar.wrappers import parse_ar_tree, parse_paml_tree
+        tree_text = paths["tree"].read_text()
+        if self.program in (AR_BASEML, AR_CODEML):
+            # a dummy alphabet arg is not needed for leaf labels
+            ar_tree = parse_paml_tree(tree_text, None)
+        else:
+            ar_tree = parse_ar_tree(tree_text, reroot=False)
+        ar_leaves = {n.label for n in ar_tree.nodes if n.is_leaf}
+        if ar_leaves != set(expected_leaves):
+            extra = sorted(ar_leaves - set(expected_leaves))[:3]
+            missing = sorted(set(expected_leaves) - ar_leaves)[:3]
+            raise SystemExit(
+                f"--ardir {ar_dir} does not match the current inputs: the "
+                f"AR tree has {len(ar_leaves)} leaves vs "
+                f"{len(expected_leaves)} expected from the extended "
+                f"alignment (AR-only: {extra}, missing: {missing}). "
+                "Re-run ancestral reconstruction for these inputs or "
+                "point --ardir at the matching outputs.")
+        n_sites = self._scan_ar_sites(paths["probas"])
+        if n_sites != expected_sites:
+            raise SystemExit(
+                f"--ardir {ar_dir} does not match the current inputs: AR "
+                f"posteriors cover {n_sites} sites but the current "
+                f"extended alignment has {expected_sites} columns (did "
+                "the alignment or --ratio-reduction change?). Re-run "
+                "ancestral reconstruction for these inputs.")
+
+    def _scan_ar_sites(self, probas_path: Path) -> int:
+        """Max 1-based site index present in the AR posterior output."""
+        max_site = 0
+        with open(probas_path) as f:
+            if self.program == AR_PHYML:
+                for line in f:         # rows: site \t node \t p...
+                    tok = line.split("\t", 1)[0].strip()
+                    if tok.isdigit():
+                        max_site = max(max_site, int(tok))
+            elif self.program == AR_RAXMLNG:
+                for line in f:         # rows: node \t site \t state...
+                    parts = line.split("\t", 2)
+                    if len(parts) > 1 and parts[1].strip().isdigit():
+                        max_site = max(max_site, int(parts[1]))
+            else:                      # PAML rst marginal sections
+                in_section = False
+                for line in f:
+                    if "Prob distribution at node" in line:
+                        in_section = True
+                        continue
+                    if line.startswith("(") or line.startswith(
+                            "Best amino acids reconstructed"):
+                        in_section = False
+                        continue
+                    if not in_section:
+                        continue
+                    toks = line.split()
+                    if toks and toks[0].isdigit() and "(" in line:
+                        max_site = max(max_site, int(toks[0]))
+        return max_site

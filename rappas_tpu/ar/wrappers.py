@@ -271,11 +271,15 @@ def parse_paml_probas(rst_text: str, tree: Tree, n_sites: int,
         if not toks or not toks[0].isdigit():
             continue
         site = int(toks[0]) - 1
-        if site < 0 or site >= n_sites:
-            continue
         pairs = _PAML_PP_RE.findall(line)
         if not pairs:
             continue
+        if site < 0 or site >= n_sites:
+            # silently dropping would build a wrong DB from a stale
+            # --ardir; fail like the other parsers do
+            raise ValueError(
+                "PAML rst output contains more sites than the reference "
+                "alignment -- was AR run on the same alignment?")
         vec = np.zeros(alphabet.n_states, np.float32)
         for ch, p in pairs:
             if ch == "-":

@@ -22,21 +22,30 @@ import numpy as np
 
 from rappas_tpu.db import PhyloKmerDB
 
-#: reference defaults (Main_DBBUILD_3.java:174-181): 1M samples (x10 and
-#: length/3 for amino), 99th of 100-quantiles
-DEFAULT_SAMPLES = 100_000
+#: reference protocol (Main_DBBUILD_3.java:174-181): 1M samples, 99th of
+#: 100-quantiles; amino runs 10x the samples at length/3
+DEFAULT_SAMPLES = 1_000_000
 DEFAULT_MEAN_LEN = 150
 DEFAULT_QUANTILE = 0.99
 
 
-def calibrate(db: PhyloKmerDB, n_samples: int = DEFAULT_SAMPLES,
+def calibrate(db: PhyloKmerDB, n_samples: int | None = None,
               mean_length: int | None = None,
               quantile: float = DEFAULT_QUANTILE, seed: int = 1,
               batch_size: int = 8192, engine=None) -> float:
     """Return the calibrated best-score noise bound (also stored in
-    ``db.meta['calibration_ns_bound']``)."""
+    ``db.meta['calibration_ns_bound']``).
+
+    Defaults follow the reference protocol exactly
+    (``Main_DBBUILD_3.java:174-181``): 1M random reads of mean length
+    150 for DNA; 10M reads of mean length 50 for amino.  Tests pass a
+    small ``n_samples`` explicitly.
+    """
     from rappas_tpu.place.engine import PlacementEngine
 
+    if n_samples is None:
+        n_samples = DEFAULT_SAMPLES if db.alphabet.name == "nucl" \
+            else DEFAULT_SAMPLES * 10
     if mean_length is None:
         mean_length = DEFAULT_MEAN_LEN if db.alphabet.name == "nucl" \
             else DEFAULT_MEAN_LEN // 3

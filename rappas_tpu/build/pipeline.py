@@ -53,7 +53,12 @@ class BuildConfig:
     reduction: bool = True
     reduction_ratio: float = 0.99
     #: write the reduced alignment copy to this path (default
-    #: ``workdir/align.reduced``)
+    #: ``workdir/align.reduced``).  NOTE: despite the reference help
+    #: text ("Write reduced alignment to file"), its pipeline ALWAYS
+    #: writes the reduced copy when reduction is on, defaulting to
+    #: ``workdir/align.reduced``; ``--write-reduction FILE`` only
+    #: overrides the destination (``Main_DBBUILD_3.java:227-234``).
+    #: This implementation matches that live behavior exactly.
     reduced_align_file: str | None = None
     model: EvolModel | None = None
     ar_binary: str | None = None
@@ -172,7 +177,9 @@ def build_database(ref_align_path, ref_tree_path, workdir,
         launcher.launch(ar_path, f_phylip, f_tree_nolabel)
     else:
         log(f"reusing AR outputs from {ar_path}")
-        launcher.check_outputs(ar_path, f_phylip)
+        launcher.validate_existing(ar_path, f_phylip,
+                                   set(ext_align.labels),
+                                   ext_align.length)
 
     # ---------------------------------------------------------------- #
     # 6. parse AR outputs

@@ -21,10 +21,15 @@ _PAML_EQUIV = {
     "JC69": "0", "K80": "1", "F81": "2", "HKY85": "4", "TN93": "6",
     "GTR": "7", "F84": "3",
     "LG": "lg.dat", "WAG": "wag.dat", "JTT": "jones.dat",
-    "Dayhoff": "dayhoff.dat", "DCMut": "dayhoff_dimut.dat",
+    "Dayhoff": "dayhoff.dat", "DCMut": "dayhoff-dcmut.dat",
     "CpREV": "cpREV10.dat", "MtMam": "mtmam.dat", "MtREV": "mtREV24.dat",
-    "MtArt": "mtart.dat",
+    "MtArt": "mtArt.dat",
 }
+# NOTE: the reference registry names DCMut/MtArt as "dayhoff_dimut.dat" /
+# "mtart.dat" (EvolModel.java:199-207), which do not match the actual
+# resource filenames it ships (dayhoff-dcmut.dat / mtArt.dat) -- those two
+# models would fail there.  We fix the names; the 9 matrices are vendored
+# in rappas_tpu/ar/paml_dat/ (public PAML data, also shipped with PAML).
 
 _CANON = {m.upper(): m for m in NUCL_MODELS + AA_MODELS}
 
