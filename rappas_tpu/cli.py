@@ -238,10 +238,16 @@ def run_placement(args, call_string: str) -> int:
 
 
 def _make_engine(db, args, cfg):
-    """Single-chip or mesh engine from the --dp/--mp flags."""
+    """Single-chip or mesh engine from the --dp/--mp flags.
+
+    The mesh spans this host's LOCAL devices only: reads are sharded
+    across hosts at the stream level (each host places its own shard
+    and rank 0 merges the jplace parts), so per-host batches differ and
+    must never be device_put onto a global mesh -- dp/mp parallelise
+    within the host, read sharding parallelises across hosts."""
     import jax
 
-    n_dev = len(jax.devices())
+    n_dev = len(jax.local_devices())
     dp = args.dp if args.dp else (n_dev if args.mp == 1 and n_dev > 1
                                   else 1)
     mp = args.mp
@@ -263,7 +269,7 @@ def _make_engine(db, args, cfg):
         cfg.batch_size = -(-cfg.batch_size // dp) * dp
         log(f"batch size rounded up to {cfg.batch_size} "
             f"(multiple of dp={dp})")
-    mesh = make_mesh(jax.devices()[:dp * mp], dp=dp, mp=mp)
+    mesh = make_mesh(jax.local_devices()[:dp * mp], dp=dp, mp=mp)
     log(f"placement mesh: dp={dp} x mp={mp}")
     return ShardedEngine(
         db, mesh, keep_at_most=cfg.keep_at_most,

@@ -297,12 +297,73 @@ def finalize_postings(light_pairs: jax.Array, lrows: jax.Array,
         jnp.int32(0), k, keep_at_most, lowrank)
 
 
+def _pow2(n: int) -> int:
+    """Smallest power of two >= n (shape bucketing)."""
+    return 1 << max(0, int(np.ceil(np.log2(max(n, 1)))))
+
+
+def _fast_unique_inverse(flat: np.ndarray):
+    """(unique sorted values, inverse map) -- torch-backed (multi-core
+    sort) with a numpy fallback."""
+    try:
+        import torch
+        u, inv = torch.unique(torch.from_numpy(flat),
+                              return_inverse=True)
+        return u.numpy(), inv.numpy()
+    except ImportError:  # pragma: no cover - torch is baked in
+        return np.unique(flat, return_inverse=True)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "keep_at_most", "lowrank"))
+def finalize_postings_v2(light_parts: tuple, lrows: jax.Array,
+                         uniq_rows, dense_rows: jax.Array,
+                         dense_reads: jax.Array, dense_slots: jax.Array,
+                         slot_read: jax.Array, lengths: jax.Array,
+                         thr: jax.Array, k: int, keep_at_most: int,
+                         lowrank: bool = True):
+    """Single-chip postings scoring with all round-3 optimisations:
+    height-split light table, optional batch-unique two-stage gather,
+    compact dense side (see :func:`finalize_postings_local`)."""
+    return finalize_postings_local(
+        None, lrows, dense_rows, dense_reads, lengths, thr,
+        jnp.int32(0), k, keep_at_most, lowrank,
+        light_parts=light_parts, uniq_rows=uniq_rows,
+        dense_slots=dense_slots if lowrank else None,
+        slot_read=slot_read if lowrank else None)
+
+
+def light_gather(parts: tuple, lrows: jax.Array) -> jax.Array:
+    """Row gather from a light table stored as 1 or 2 height-split parts.
+
+    Measured v5e gather rates (scripts/postings_probe2.py): tables under
+    ~100 MB gather at ~5-7 ns/row (XLA stages them through VMEM); bigger
+    tables fall to ~23 ns/row (HBM random-row path).  Splitting a
+    too-big table into two sub-100MB halves costs two fast gathers +
+    a select instead of one slow gather -- ~1.7x for 100-200 MB tables.
+    Row indices < H1 hit part 0; the rest (including the miss row, last)
+    hit part 1.
+    """
+    if len(parts) == 1:
+        return parts[0][lrows]
+    T1, T2 = parts
+    H1 = T1.shape[0]
+    in1 = lrows < H1
+    g1 = T1[jnp.minimum(lrows, H1 - 1)]
+    g2 = T2[jnp.clip(lrows - H1, 0, T2.shape[0] - 1)]
+    return jnp.where(in1[..., None], g1, g2)
+
+
 def finalize_postings_local(light_pairs: jax.Array, lrows: jax.Array,
                             dense_rows: jax.Array, dense_reads: jax.Array,
                             lengths: jax.Array, thr: jax.Array,
                             edge_offset: jax.Array,
                             k: int, keep_at_most: int,
-                            lowrank: bool = True):
+                            lowrank: bool = True, *,
+                            light_parts: tuple | None = None,
+                            uniq_rows: jax.Array | None = None,
+                            dense_slots: jax.Array | None = None,
+                            slot_read: jax.Array | None = None):
     """Postings-mode scoring: sort-based segment sums over the gathered
     light postings, combined exactly with the batch's dense row sources
     (heavy k-mer hit rows + ambiguity window contributions), then top-k
@@ -350,16 +411,45 @@ def finalize_postings_local(light_pairs: jax.Array, lrows: jax.Array,
     local to the shard's edge range ``[offset, offset + W)`` while light
     edge ids stay global; returned edges are always global.  Single-chip
     callers pass 0 via :func:`finalize_postings`.
+
+    Keyword extensions (round 3, all measured on v5e --
+    scripts/postings_probe*.py, docs/PERF.md):
+
+    * ``light_parts``: the light table as 1-2 height-split parts so each
+      stays under the ~100 MB VMEM-staging cliff (:func:`light_gather`);
+      overrides ``light_pairs``.
+    * ``uniq_rows``: batch-deduplicated table rows.  ``lrows`` is then
+      the inverse map into ``uniq_rows``: the big table is gathered once
+      per *unique* k-mer and windows re-gather from the small compacted
+      table at the fast rate.  Host decides when this wins.
+    * ``dense_slots``/``slot_read``: compact dense side.  Sources
+      scatter into ``[n_slots + 1, E]`` (slot per read WITH dense
+      content, unique; pads -> the extra zero row) instead of
+      ``[B, E]``; top-k runs over slots and scatters back to reads
+      (``slot_read`` pads point at row B of a ``[B + 1]`` target).
+      Requires ``lowrank=True`` (callers fall back to the dense
+      accumulator when sources are not rare).
     """
     B, Q = lrows.shape
-    P = light_pairs.shape[1] // 2
+    parts = light_parts if light_parts is not None else (light_pairs,)
+    P = parts[0].shape[1] // 2
     E = dense_rows.shape[1]          # local width W under sharding
     K = min(keep_at_most, E)
 
-    dense_acc = jnp.zeros((B, E), jnp.float32).at[dense_reads].add(
-        dense_rows)
+    if dense_slots is None:
+        dense_acc = jnp.zeros((B, E), jnp.float32).at[dense_reads].add(
+            dense_rows)
+    else:
+        assert lowrank, "compact dense side requires lowrank=True"
+        n_slots = slot_read.shape[0]
+        acc_c = jnp.zeros((n_slots + 1, E), jnp.float32).at[
+            dense_slots].add(dense_rows)
 
-    g = light_pairs[lrows]                       # [B, Q, 2P] one gather
+    if uniq_rows is not None:
+        compact = light_gather(parts, uniq_rows)      # [U, 2P]
+        g = compact[lrows]            # lrows = inverse map, fast table
+    else:
+        g = light_gather(parts, lrows)               # [B, Q, 2P]
     e = g[:, :, :P].reshape(B, Q * P)
     d = jax.lax.bitcast_convert_type(
         g[:, :, P:], jnp.float32).reshape(B, Q * P)
@@ -406,9 +496,18 @@ def finalize_postings_local(light_pairs: jax.Array, lrows: jax.Array,
         jnp.where(light_valid, light_total, -jnp.inf), K)
     l_edges = jnp.take_along_axis(e_s, li, axis=1)
 
-    h_scores, h_edges = jax.lax.top_k(
-        jnp.where(dense_acc > 0, dense_acc, -jnp.inf), K)
-    h_edges = h_edges + edge_offset              # local col -> global id
+    if dense_slots is None:
+        h_scores, h_edges = jax.lax.top_k(
+            jnp.where(dense_acc > 0, dense_acc, -jnp.inf), K)
+        h_edges = h_edges + edge_offset          # local col -> global id
+    else:
+        hs, he = jax.lax.top_k(
+            jnp.where(acc_c[:n_slots] > 0, acc_c[:n_slots], -jnp.inf), K)
+        he = he + edge_offset
+        h_scores = jnp.full((B + 1, K), -jnp.inf, jnp.float32).at[
+            slot_read].set(hs)[:B]
+        h_edges = jnp.zeros((B + 1, K), he.dtype).at[
+            slot_read].set(he)[:B]
 
     cedge = jnp.concatenate([l_edges, h_edges.astype(l_edges.dtype)], 1)
     cscore = jnp.concatenate([l_scores, h_scores], 1)
@@ -424,7 +523,11 @@ def finalize_postings_local(light_pairs: jax.Array, lrows: jax.Array,
     top_acc, ti = jax.lax.top_k(cscore, K)
     top_edge = jnp.take_along_axis(cedge, ti, axis=1)
 
-    n_dense = (dense_acc > 0).sum(axis=1)
+    if dense_slots is None:
+        n_dense = (dense_acc > 0).sum(axis=1)
+    else:
+        nd = (acc_c[:n_slots] > 0).sum(axis=1)
+        n_dense = jnp.zeros(B + 1, nd.dtype).at[slot_read].set(nd)[:B]
     light_only = light_valid & (dense_at <= 0)
     n_matched = (n_dense + light_only.sum(axis=1)).astype(jnp.int32)
 
@@ -448,14 +551,14 @@ def alt_delta_rows(D: jax.Array, scale: jax.Array,
 
 
 @jax.jit
-def alt_delta_rows_postings(light_pairs: jax.Array,
+def alt_delta_rows_postings(light_parts: tuple,
                             heavy_dense: jax.Array, alt_lrows: jax.Array,
                             alt_hrows: jax.Array) -> jax.Array:
     """[n_alt, E] f32 delta rows for ambiguity alternatives in postings
     mode: the heavy dense row plus the scattered light postings (misses
     hit the all-zero trailing rows; light pad slots add 0 to edge 0)."""
     dense = heavy_dense[alt_hrows]                    # [n_alt, E]
-    g = light_pairs[alt_lrows]                        # [n_alt, 2P]
+    g = light_gather(light_parts, alt_lrows)          # [n_alt, 2P]
     P = g.shape[1] // 2
     e = g[:, :P]
     d = jax.lax.bitcast_convert_type(g[:, P:], jnp.float32)
@@ -527,6 +630,13 @@ class PlacementEngine:
     #: byte budget for the postings mode's direct k-mer -> row index
     #: table (int32[S^k + 1]); above it, binary search over sorted keys
     DIRECT_INDEX_LIMIT = 1 << 30
+    #: single light-table part size above which the v5e gather falls off
+    #: the ~5-7 ns/row VMEM-staged rate to ~23 ns/row (measured,
+    #: scripts/postings_probe2.py); tables up to 2x this are height-split
+    LIGHT_SPLIT_BYTES = 96 << 20
+    #: batch-unique row-count cap for the two-stage gather (measured
+    #: crossover: U=131k costs 5.4 ms vs 13+ ms direct at 585k windows)
+    TWO_STAGE_MAX_UNIQUE = 131072
 
     def __init__(self, db: PhyloKmerDB, keep_at_most: int = 7,
                  treat_ambiguities: bool = True,
@@ -562,37 +672,42 @@ class PlacementEngine:
                     "postings table mode is f32-only (the sort payload "
                     "carries exact deltas); use precision='f32'")
             pt = db.postings_tables(postings_width)
-            key_dtype = (np.int32 if self.alphabet.n_states ** self.k
-                         <= 2 ** 31 - 1 else np.int64)
             self._light_keys_np = pt.light_keys
             self._heavy_keys_np = pt.heavy_keys
             nl, nh = pt.light_keys.shape[0], pt.heavy_keys.shape[0]
             self._nl = nl
             # one fused table: P edge ids then P bit-cast f32 deltas,
-            # fetched with a single row gather (row-gather count, not
-            # bytes, limits the light pass: ~7 ns per row on v5e)
+            # fetched with a single row gather.  Gather cost is set by
+            # table footprint (measured v5e: ~5-7 ns/row under ~100 MB
+            # where XLA stages through VMEM, ~23 ns/row above), so
+            # too-big tables are height-split in two (light_gather).
             pairs = np.concatenate(
                 [pt.light_edges, pt.light_deltas.view(np.int32)], axis=1)
-            self.light_pairs = jax.device_put(pairs, device)
+            self._light_slow = pairs.nbytes > self.LIGHT_SPLIT_BYTES
+            if self._light_slow and pairs.shape[0] > 2 and \
+                    pairs.nbytes <= 2 * self.LIGHT_SPLIT_BYTES:
+                h1 = pairs.shape[0] // 2
+                self.light_parts = (
+                    jax.device_put(np.ascontiguousarray(pairs[:h1]),
+                                   device),
+                    jax.device_put(np.ascontiguousarray(pairs[h1:]),
+                                   device))
+                self._light_slow = False   # both halves VMEM-stageable
+            else:
+                self.light_parts = (jax.device_put(pairs, device),)
             space = self.alphabet.n_states ** self.k
             if space * 4 <= self.DIRECT_INDEX_LIMIT:
-                # direct k-mer -> row table: one scalar gather replaces
-                # the 21-round binary search (4 ms vs 90 ms measured at
-                # k=12, 2M keys).  Encoding: r < nl light row, nl miss,
-                # nl+1+h heavy row h; slot `space` = miss target for
-                # invalid windows.
+                # direct k-mer -> encoded-row table (host side): one
+                # fancy-index replaces per-window binary search.
+                # Encoding: r < nl light row, nl miss, nl+1+h heavy
+                # row h; slot `space` = miss target for invalid windows.
                 rof = np.full(space + 1, nl, np.int32)
                 rof[pt.light_keys] = np.arange(nl, dtype=np.int32)
                 rof[pt.heavy_keys] = nl + 1 + np.arange(nh,
                                                         dtype=np.int32)
                 self._rof_np = rof
-                self.rof_dev = jax.device_put(rof, device)
-                self.light_keys_dev = None
             else:
-                self._rof_np = None
-                self.rof_dev = None
-                self.light_keys_dev = jax.device_put(
-                    pt.light_keys.astype(key_dtype), device)
+                self._rof_np = None       # host searchsorted fallback
             dense, scale = pt.heavy_dense, np.float32(1)
             self.keys_dev = None
         else:
@@ -703,6 +818,8 @@ class PlacementEngine:
                 np.zeros((B, K), np.float32),
                 np.zeros(B, np.int32)))
         codes = self.encode_batch(matrix)
+        if self.table == "postings":
+            return self._score_postings(codes, matrix, lengths)
         amb = (self._expand_ambiguities(codes, matrix, lengths)
                if self.treat_ambiguities else None)
         # pure-ACGT fast path (direct table): ship 2-bit packed reads --
@@ -724,70 +841,150 @@ class PlacementEngine:
             for o in out:
                 o.copy_to_host_async()
             return PendingBatch(out)
-        if self.table == "postings":
-            codes_dev = self._put_batch(codes)
-            S = self.alphabet.n_states
-            if self.rof_dev is not None:
-                kidx32 = kmer_rows(codes_dev, self.k, S, S ** self.k + 1)
-                lrows = jnp.minimum(gather_rows(self.rof_dev, kidx32),
-                                    self._nl)
-            else:
-                idx = kmer_indices64(codes_dev, self.k, S)
-                lrows = compact_rows(self.light_keys_dev, idx)
-            # dense row sources: heavy k-mer hits + ambiguity windows
-            sources = []
-            hh = self._heavy_hits(codes, lengths)
-            if hh is not None:
-                sources.append((gather_rows(self.D, hh[0]), hh[1]))
-            if amb is not None:
-                rows_spec, alt_win, win_read, win_inv_w, is_mean = amb
-                rows_f = alt_delta_rows_postings(
-                    self.light_pairs, self.D, *rows_spec)
-                sources.append((ambiguous_contrib(rows_f, alt_win,
-                                                  win_inv_w, is_mean),
-                                win_read))
-            E = self.D.shape[1]
-            if sources:
-                dense_rows = (sources[0][0] if len(sources) == 1 else
-                              jnp.concatenate([s[0] for s in sources], 0))
-                dense_reads = (sources[0][1] if len(sources) == 1 else
-                               jnp.concatenate([s[1] for s in sources],
-                                               0))
-            else:
-                dense_rows = jnp.zeros((1, E), jnp.float32)
-                dense_reads = jnp.zeros(1, jnp.int32)
-            if self.light_pairs.shape[1] == 0:
-                # degenerate width-0 split: everything is heavy-dense
-                dense_acc = jnp.zeros((B, E), jnp.float32).at[
-                    dense_reads].add(dense_rows)
-                out = finalize(dense_acc, self._put_batch(lengths),
-                               self.thr, self.k, self.keep_at_most)
-            else:
-                # dense-at-light-edges gather: per source when sources
-                # are rare, per read otherwise (pure count minimisation)
-                lowrank = dense_rows.shape[0] <= B // 2
-                out = finalize_postings(self.light_pairs, lrows,
-                                        dense_rows, dense_reads,
-                                        self._put_batch(lengths),
-                                        self.thr,
-                                        self.k, self.keep_at_most,
-                                        lowrank)
+        if self.table == "direct":
+            rows = kmer_rows(self._put_batch(codes), self.k,
+                             self.alphabet.n_states, self.n_rows)
         else:
-            if self.table == "direct":
-                rows = kmer_rows(self._put_batch(codes), self.k,
-                                 self.alphabet.n_states, self.n_rows)
-            else:
-                idx = kmer_indices64(self._put_batch(codes), self.k,
-                                     self.alphabet.n_states)
-                rows = compact_rows(self.keys_dev, idx)
-            acc = accumulate(self.D, rows) * self.scale
-            if amb is not None:
-                acc = self._apply_ambiguities(amb, acc)
-            out = finalize(acc, self._put_batch(lengths), self.thr,
-                           self.k, self.keep_at_most)
+            idx = kmer_indices64(self._put_batch(codes), self.k,
+                                 self.alphabet.n_states)
+            rows = compact_rows(self.keys_dev, idx)
+        acc = accumulate(self.D, rows) * self.scale
+        if amb is not None:
+            acc = self._apply_ambiguities(amb, acc)
+        out = finalize(acc, self._put_batch(lengths), self.thr,
+                       self.k, self.keep_at_most)
         for o in out:
             o.copy_to_host_async()
         return PendingBatch(out)
+
+    # -------------------------------------------------------------- #
+    # postings mode (large trees) -- all lookup work happens on host:
+    # the host computes per-window encoded rows once (the same pass the
+    # heavy-hit extraction always needed), compacts hit windows, and
+    # ships int32 rows; the device never repeats the k-mer -> row
+    # lookup (measured 8.8 ms/batch of pure duplication on v5e).
+    def _score_postings(self, codes: np.ndarray, matrix: np.ndarray,
+                        lengths: np.ndarray) -> "PendingBatch":
+        B = codes.shape[0]
+        E = self.D.shape[1]
+        nl = self._nl
+        kidx = self._host_kmer_indices(codes, lengths)
+        rof = self._host_rows(kidx)
+
+        # ---- dense sources: heavy hits + ambiguity windows ---------- #
+        hb, hq = np.nonzero(rof > nl)
+        n_h = hb.shape[0]
+        amb_h = (self._expand_ambiguities_host(codes, matrix, lengths)
+                 if self.treat_ambiguities else None)
+        win_read = amb_h[2] if amb_h is not None else \
+            np.zeros(0, np.int32)
+        src_reads = np.concatenate([hb.astype(np.int32), win_read]) \
+            if (n_h or win_read.size) else np.zeros(0, np.int32)
+        lowrank = src_reads.size <= B // 2
+
+        # slot per read WITH dense content (compact dense accumulator)
+        uniq_reads = np.unique(src_reads)
+        n_slots = max(1, _pow2(uniq_reads.size))
+        slot_read = np.full(n_slots, B, np.int32)   # pad -> row B
+        slot_read[:uniq_reads.size] = uniq_reads
+
+        def slots_of(reads):
+            return np.searchsorted(uniq_reads, reads).astype(np.int32)
+
+        # heavy sources padded to a bucket
+        n_hpad = max(64, _pow2(max(n_h, 1)))
+        hrows = np.full(n_hpad, self._heavy_keys_np.shape[0], np.int32)
+        hreads = np.full(n_hpad, B - 1, np.int32)
+        hslots = np.full(n_hpad, n_slots, np.int32)  # pad -> zero row
+        if n_h:
+            hrows[:n_h] = (rof[hb, hq] - (nl + 1)).astype(np.int32)
+            hreads[:n_h] = hb
+            hslots[:n_h] = slots_of(hb)
+
+        sources = [(gather_rows(self.D, self._put_repl(hrows)),
+                    hreads, hslots)]
+        if amb_h is not None:
+            kidx_a, alt_win, wr, win_inv_w, is_mean = amb_h
+            rows_spec = self._map_alt_rows(kidx_a)
+            rows_f = alt_delta_rows_postings(
+                self.light_parts, self.D, *rows_spec)
+            contrib = ambiguous_contrib(rows_f, self._put_repl(alt_win),
+                                        self._put_repl(win_inv_w),
+                                        self._put_repl(is_mean))
+            sources.append((contrib, wr, slots_of(wr)))
+        if len(sources) == 1:
+            dense_rows = sources[0][0]
+            dense_reads = self._put_repl(sources[0][1])
+            dense_slots = self._put_repl(sources[0][2])
+        else:
+            dense_rows = jnp.concatenate([s[0] for s in sources], 0)
+            dense_reads = self._put_repl(
+                np.concatenate([s[1] for s in sources]))
+            dense_slots = self._put_repl(
+                np.concatenate([s[2] for s in sources]))
+
+        lens_dev = self._put_batch(lengths)
+        if self.light_parts[0].shape[1] == 0:
+            # degenerate width-0 split: everything is heavy-dense
+            dense_acc = jnp.zeros((B, E), jnp.float32).at[
+                dense_reads].add(dense_rows)
+            out = finalize(dense_acc, lens_dev, self.thr, self.k,
+                           self.keep_at_most)
+            for o in out:
+                o.copy_to_host_async()
+            return PendingBatch(out)
+
+        # ---- light rows: hit compaction + optional two-stage -------- #
+        lrows = np.minimum(rof, nl).astype(np.int32)
+        hit = rof < nl
+        counts = hit.sum(axis=1)
+        w_max = int(counts.max()) if counts.size else 0
+        Q = lrows.shape[1]
+        W = Q
+        for cand in (8, 16, 32, 48, 64, 96, 128, 192, 256):
+            if cand >= w_max and cand < Q - 8:
+                W = cand
+                break
+        if W < Q:
+            # stable left-pack of hit windows; dropped slots are misses
+            # (edge 0 / delta 0 pads) whose sorted position adds exact
+            # zeros, so scores are bit-identical to the uncompacted form
+            pos = np.cumsum(hit, axis=1) - 1
+            bb, qq = np.nonzero(hit)
+            packed = np.full((B, W), nl, np.int32)
+            packed[bb, pos[bb, qq]] = lrows[bb, qq]
+            lrows = packed
+
+        uniq_dev = None
+        if self._light_slow:
+            uniq, inv = _fast_unique_inverse(lrows.ravel())
+            if uniq.shape[0] <= self.TWO_STAGE_MAX_UNIQUE and \
+                    uniq.shape[0] * 3 <= lrows.size:
+                U = _pow2(uniq.shape[0])
+                uniq_pad = np.full(U, nl, np.int32)
+                uniq_pad[:uniq.shape[0]] = uniq
+                uniq_dev = self._put_repl(uniq_pad)
+                lrows = inv.reshape(lrows.shape).astype(np.int32)
+
+        out = finalize_postings_v2(
+            self.light_parts, self._put_batch(lrows), uniq_dev,
+            dense_rows, dense_reads, dense_slots,
+            self._put_repl(slot_read), lens_dev, self.thr,
+            self.k, self.keep_at_most, lowrank)
+        for o in out:
+            o.copy_to_host_async()
+        return PendingBatch(out)
+
+    def _host_rows(self, kidx: np.ndarray) -> np.ndarray:
+        """Encoded row per window: ``r < nl`` light row, ``nl`` miss,
+        ``nl + 1 + h`` heavy row ``h`` (invalid windows -> miss)."""
+        if self._rof_np is not None:
+            space = self.alphabet.n_states ** self.k
+            return self._rof_np[np.where(kidx >= 0, kidx, space)]
+        lp = searchsorted_rows(self._light_keys_np, kidx)  # miss -> nl
+        hp = searchsorted_rows(self._heavy_keys_np, kidx)
+        nh = self._heavy_keys_np.shape[0]
+        return np.where(hp < nh, self._nl + 1 + hp, lp)
 
     # -------------------------------------------------------------- #
     def _expand_ambiguities(self, codes: np.ndarray, matrix: np.ndarray,

@@ -158,7 +158,7 @@ def test_postings_fallback_without_direct_table(db, monkeypatch):
     protein / very-large-k path)."""
     monkeypatch.setattr(PlacementEngine, "DIRECT_INDEX_LIMIT", 0)
     engine = PlacementEngine(db, table="postings")
-    assert engine.rof_dev is None and engine.light_keys_dev is not None
+    assert engine._rof_np is None
     compare(db, engine, random_reads(db, 12, 30, seed=19))
 
 
@@ -181,7 +181,7 @@ def test_postings_protein_mode():
                      tree=tree, keys=keys, offsets=offsets,
                      edges=e, deltas=deltas)
     engine = PlacementEngine(db, table="postings")
-    assert engine.rof_dev is None
+    assert engine._rof_np is None
     letters = "ARNDCQEGHILKMFPSTWYV"
     reads = ["".join(rng.choice(list(letters), 25)) for _ in range(6)]
     # include one read built from a DB k-mer so something matches
@@ -291,3 +291,54 @@ def test_threshold_grade_score_all_modes(mode):
     assert abs(s3 - q * thr) < 1e-4, f"{mode}: score {s3} vs {q * thr}"
     rows_o, n_o = oracle_place(db, read)
     assert n_o == 2
+
+
+def test_postings_split_light_table(db, monkeypatch):
+    """Height-split light table (the >96MB regime, forced tiny here):
+    both parts' gathers + select must equal the single-table result."""
+    pairs_bytes = (db.postings_tables(8).light_keys.shape[0] + 1) * 64
+    monkeypatch.setattr(PlacementEngine, "LIGHT_SPLIT_BYTES",
+                        pairs_bytes // 2 + 64)
+    engine = PlacementEngine(db, table="postings")
+    assert len(engine.light_parts) == 2
+    reads = random_reads(db, 10, 30, seed=23)
+    # include DB k-mers so light hits are guaranteed
+    reads += [db.alphabet.kmer_to_string(int(k), db.k) * 4
+              for k in db.keys[:3]]
+    compare(db, engine, reads)
+
+
+def test_postings_two_stage_unique(db, monkeypatch):
+    """Two-stage batch-unique gather (forced): scores bit-equal to the
+    direct-gather engine."""
+    monkeypatch.setattr(PlacementEngine, "LIGHT_SPLIT_BYTES", 1 << 62)
+    e_direct = PlacementEngine(db, table="postings")
+    assert not e_direct._light_slow
+
+    monkeypatch.setattr(PlacementEngine, "LIGHT_SPLIT_BYTES", 0)
+    # one part only (splitting skipped when 2x over budget), slow regime
+    e_slow = PlacementEngine(db, table="postings")
+    assert e_slow._light_slow and len(e_slow.light_parts) == 1
+
+    reads = random_reads(db, 8, 40, seed=29)
+    reads += [db.alphabet.kmer_to_string(int(k), db.k) * 6
+              for k in db.keys[:4]]
+    # heavy repetition across the batch so the unique stage engages
+    reads = reads * 3
+    mat, lens = batch_of(reads)
+    r1 = e_direct.score(mat.copy(), lens.copy())
+    r2 = e_slow.score(mat.copy(), lens.copy())
+    assert np.array_equal(r1.top_edges, r2.top_edges)
+    assert np.array_equal(r1.top_scores.view(np.uint32),
+                          r2.top_scores.view(np.uint32))
+    assert np.array_equal(r1.n_matched, r2.n_matched)
+    compare(db, e_slow, reads[:12])
+
+
+def test_postings_ambiguous_reads_compact_slots(db):
+    """IUPAC windows route through the compact-slot dense side."""
+    engine = PlacementEngine(db, table="postings")
+    base = db.alphabet.kmer_to_string(int(db.keys[0]), db.k) * 5
+    reads = [base[:12] + "N" + base[13:], base, "N" * 20,
+             base[:5] + "R" + base[6:]]
+    compare(db, engine, reads)
