@@ -3,8 +3,14 @@
 Reference baseline: RAPPAS v1.00 places 1M x 150bp reads in ~30-40 min on
 one desktop CPU core => ~500 reads/s (``/root/reference/README.md:244``,
 BASELINE.md).  This bench measures reads placed per second per chip on a
-~150-taxon-equivalent DB (k=8, ~300 edge slots, 150bp reads) -- the
-"config 1" scale of BASELINE.json.
+REAL end-to-end artifact at the "config 1" scale of BASELINE.json: a
+150-taxon x 1500 bp simulated 16S dataset (scripts/simulate.py, seed 42)
+built through the full production pipeline (ghost injection -> PhyML
+ancestral reconstruction -> phylo-kmer generation, k=8), with reads
+sampled from the leaves at 0.5% sequencing error.  The build is cached
+under ``/tmp/rappas_bench_db`` (~42 s cold).  Accuracy (mean expected
+node distance, the PEWO criterion) is measured on the same artifact and
+reported alongside throughput.
 
 Prints ONE JSON line:
 ``{"metric": ..., "value": N, "unit": "reads/s", "vs_baseline": N/500}``
@@ -15,10 +21,14 @@ from __future__ import annotations
 import json
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
 
 BASELINE_READS_PER_S = 500.0  # reference, 1 CPU core (README.md:244)
+
+#: bump to invalidate cached bench artifacts after format changes
+BENCH_DB_VERSION = "r3-150taxa-1500bp-seed42-k8"
 
 
 def synthetic_db(k=8, n_edges=300, mean_edges_per_kmer=5,
@@ -54,6 +64,86 @@ def make_reads(n, length, seed=1):
     return mat, lens
 
 
+PHYML = "/root/reference/bindep/phyml_x64"
+
+
+def real_db(cache_dir="/tmp/rappas_bench_db"):
+    """The real benchmark artifact: a 150-taxon simulated-16S DB built
+    through the full pipeline (PhyML AR), cached on disk, plus the
+    10k leaf-sampled reads (0.5% error) and their true source node ids.
+
+    Returns ``(db, codes[N, 150] int8, srcs[N] int32)`` or ``None`` if
+    the AR binary is unavailable (caller falls back to the synthetic
+    DB and says so).
+    """
+    from rappas_tpu.db import PhyloKmerDB
+
+    cache = Path(cache_dir)
+    stamp = cache / "VERSION"
+    db_path = cache / "bench150.rptpu"
+    reads_path = cache / "reads.fasta"
+    if not (db_path.exists() and reads_path.exists() and
+            stamp.exists() and
+            stamp.read_text().strip() == BENCH_DB_VERSION):
+        if not Path(PHYML).exists():
+            return None
+        import sys as _sys
+        _sys.path.insert(0, str(Path(__file__).parent / "scripts"))
+        import simulate
+
+        from rappas_tpu.build.pipeline import BuildConfig, build_database
+
+        cache.mkdir(parents=True, exist_ok=True)
+        rng = np.random.default_rng(42)
+        nwk = simulate.random_tree(150, rng)
+        (cache / "ref.tree").write_text(nwk + "\n")
+        seqs = simulate.evolve(nwk, 1500, rng)
+        with open(cache / "ref_align.fasta", "w") as f:
+            for taxon in sorted(seqs):
+                f.write(f">{taxon}\n"
+                        f"{simulate.BASES[seqs[taxon]].tobytes().decode()}"
+                        "\n")
+        reads = simulate.make_reads(seqs, 10000, 150, 0.005, rng)
+        with open(reads_path, "w") as f:
+            for h, r in reads:
+                f.write(f">{h}\n{simulate.BASES[r].tobytes().decode()}\n")
+        db = build_database(
+            cache / "ref_align.fasta", cache / "ref.tree",
+            cache / "work", BuildConfig(ar_binary=PHYML))
+        db.save(db_path)
+        stamp.write_text(BENCH_DB_VERSION + "\n")
+
+    db = PhyloKmerDB.load(db_path)
+    from rappas_tpu.seqio import read_fasta
+    recs = list(read_fasta(reads_path))
+    lut = np.full(256, -1, np.int8)
+    for i, b in enumerate(b"ACGT"):
+        lut[b] = i
+    codes = np.stack([lut[np.frombuffer(s.encode(), np.uint8)]
+                      for _, s in recs])
+    label_to_id = {lb: i for i, lb in enumerate(db.arrays.labels) if lb}
+    srcs = np.array(
+        [label_to_id[h.split("src=")[1].split(" ")[0]] for h, _ in recs],
+        np.int32)
+    return db, codes, srcs
+
+
+def node_distance(parent, a, b):
+    """#edges between nodes a and b on the original tree."""
+    pa, pb = [], []
+    while a != -1:
+        pa.append(a)
+        a = int(parent[a])
+    while b != -1:
+        pb.append(b)
+        b = int(parent[b])
+    sa = {n: i for i, n in enumerate(pa)}
+    for j, n in enumerate(pb):
+        if n in sa:
+            return sa[n] + j
+    return len(pa) + len(pb)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -71,7 +161,14 @@ def main():
     chunks = 6
     warmup = 1
 
-    db = synthetic_db()
+    art = real_db()
+    if art is not None:
+        db, read_codes, srcs = art
+        db_kind = ("150-taxon simulated 16S, full PhyML pipeline, "
+                   f"{db.nnz} postings")
+    else:  # AR binary unavailable: keep the bench runnable anywhere
+        db, read_codes, srcs = synthetic_db(), None, None
+        db_kind = "synthetic (PhyML binary unavailable)"
     k = db.k
     # f32 scores: measured FASTER than u16 on TPU (sub-32-bit gathers
     # take a padded path) and bit-exact for parity
@@ -111,7 +208,14 @@ def main():
              f[:, 6] | (f[:, 7] << 10)], axis=1)
         return (words, ts[:, 0], gap)
 
-    codes_np, lens_np = make_reads(B * STEPS, L)
+    if read_codes is not None:
+        # tile the 10k real reads (leaf-sampled, 0.5% error) to fill a
+        # chunk; order is preserved, so entry i < 10k is read i
+        reps = -(-B * STEPS // read_codes.shape[0])
+        codes_np = np.tile(read_codes, (reps, 1))[:B * STEPS]
+        lens_np = np.full(B * STEPS, L, np.int32)
+    else:
+        codes_np, lens_np = make_reads(B * STEPS, L)
     packed_np = pack_reads(codes_np)          # [B*STEPS, ceil(L/4)]
     packed_np = packed_np.reshape(STEPS, B, -1)
     lens_np = lens_np.reshape(STEPS, B)
@@ -199,23 +303,49 @@ def main():
         assert int(te[i, 0]) == rows_o[0][0] or \
             abs(float(ts[i, 0]) - float(rows_o[0][1])) < 1e-4
         assert abs(float(ts[i, 0]) - float(rows_o[0][1])) < 2e-4
-        if n_o > 1:  # second-best reconstructed within quantisation step
+        # second-best reconstructed within the quantisation step -- but
+        # only when inside the wire format's representable range: gaps
+        # saturate at 8.0 log10 units (such rows never survive any
+        # keep-factor >= 1e-8 into jplace, see DELTA_SCALE note above)
+        if n_o > 1 and float(rows_o[0][1]) - float(rows_o[1][1]) < 7.9:
             assert abs(float(ts[i, 1]) - float(rows_o[1][1])) < 1.5e-3
+        elif n_o > 1:
+            assert int(gap[i, 0]) == 65535  # saturated as designed
 
-    print(json.dumps({
+    payload = {
         "metric": "reads_placed_per_sec_per_chip "
-                  "(k=8, 300-edge DB, 150bp reads, device-sustained)",
+                  "(k=8, 150-taxon 16S DB, 150bp reads, "
+                  "device-sustained)",
         "value": round(device_reads_per_s),
         "unit": "reads/s",
         "vs_baseline": round(device_reads_per_s / BASELINE_READS_PER_S,
                              1),
         "e2e_dev_tunnel": round(e2e_reads_per_s),
         "e2e_peak": round(peak_reads_per_s),
+        "db": db_kind,
         "note": "e2e includes host packing + transfers over this dev "
                 "environment's ~30MB/s tunnel (a hard 0.8M reads/s cap "
                 "at 37.5 B/read before any compute); value is the "
                 "chip-side sustained rate, oracle-verified above",
-    }))
+    }
+
+    if srcs is not None:
+        # PEWO-style accuracy from the SAME timed outputs: expected
+        # node distance between the best edge and the true source leaf
+        # edge, over the 10k leaf-sampled reads (entries 0..9999 of the
+        # drained chunk are exactly reads 0..9999)
+        n = srcs.shape[0]
+        parent = db.arrays.parent
+        placed = nm[:n] > 0
+        dists = np.array([
+            node_distance(parent, int(te[i, 0]), int(srcs[i]))
+            for i in range(n) if placed[i]])
+        payload["mean_eND"] = round(float(dists.mean()), 4)
+        payload["pct_within_2_edges"] = round(
+            float((dists <= 2).mean() * 100), 2)
+        payload["pct_placed"] = round(float(placed.mean() * 100), 2)
+
+    print(json.dumps(payload))
     return 0
 
 
