@@ -153,10 +153,12 @@ def main():
     from rappas_tpu.utils import enable_compile_cache
 
     enable_compile_cache()
-    B = 8192           # reads per device step (sweet spot of the batch
-    #                    sweep in scripts/scaling_probe.py --device:
-    #                    8192 > 16384 by ~6% on the v5e gather path)
-    STEPS = 32         # steps per host<->device chunk
+    B = 16384          # reads per device step.  With the round-3
+    #                    4-stream accumulate the optimum moved up from
+    #                    8192 (streams=1) to 16384: 1.008 vs 0.944 M
+    #                    reads/s on the real DB (full-step A/B,
+    #                    docs/PERF.md round 3)
+    STEPS = 16         # steps per host<->device chunk
     L = 150
     chunks = 6
     warmup = 1

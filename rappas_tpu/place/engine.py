@@ -103,9 +103,9 @@ def kmer_rows(codes: jax.Array, k: int, n_states: int,
     return jnp.where(valid, idx, n_rows - 1)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q",))
+@functools.partial(jax.jit, static_argnames=("block_q", "streams"))
 def accumulate(D: jax.Array, rows: jax.Array,
-               block_q: int = 16) -> jax.Array:
+               block_q: int = 16, streams: int = 4) -> jax.Array:
     """sum_q D[rows[:, q], :] -> [B, E] without materialising [B, Q, E].
 
     Scans over k-mer slots in blocks of ``block_q`` (each step gathers a
@@ -114,6 +114,16 @@ def accumulate(D: jax.Array, rows: jax.Array,
     for the full placement step (A/B vs a single whole-axis gather+sum:
     13.2 ms vs 22.6 ms at B=16k, Q=143, E=304 -- the big gather only
     wins in isolation where XLA fuses the reduce into it).
+
+    ``streams``: the batch is split into this many row-groups and each
+    scan body issues one independent gather per group.  The v5e gather
+    unit overlaps independent gathers a little (two concurrent streams
+    run ~1.4-1.5x the serial rate in isolation); on the full scan path
+    this is worth ~7%: 7.07 -> 6.58 ns/row at 4 streams
+    (scripts/pallas_dma_probe.py, docs/PERF.md round 3).  Bit-exact for
+    every read: a read lives in exactly one group and its slot-block
+    summation order is unchanged.  Falls back to one stream when B
+    does not split evenly.
 
     When D is uint16 fixed-point (see ``PhyloKmerDB.dense_matrix_u16``)
     the sum of quantised deltas is < 2^24, so f32 accumulation is exact;
@@ -127,19 +137,28 @@ def accumulate(D: jax.Array, rows: jax.Array,
         rows = jnp.concatenate(
             [rows, jnp.full((B, pad), D.shape[0] - 1, rows.dtype)], axis=1)
     nblocks = rows.shape[1] // block_q
-    rows_t = rows.reshape(B, nblocks, block_q).transpose(1, 0, 2)
+    S = streams if streams > 1 and B % streams == 0 and \
+        B >= streams * 8 else 1
+    h = B // S
+    rows_t = tuple(
+        rows[i * h:(i + 1) * h].reshape(h, nblocks, block_q)
+        .transpose(1, 0, 2) for i in range(S))
 
     def step(acc, r):
-        return acc + D[r].astype(jnp.float32).sum(axis=1), None
+        return tuple(a + D[x].astype(jnp.float32).sum(axis=1)
+                     for a, x in zip(acc, r)), None
 
     # seed the carry from the operands rather than a literal zeros: under
     # shard_map the carry must match the body output's varying-axes type
     # (D varies over the table-shard axis, rows over the data axis);
     # numerically this adds zeros (D's miss row is all-zero)
-    init = (rows[:, :1] * 0).astype(jnp.float32) + \
-        D[-1].astype(jnp.float32)[None, :]
-    acc, _ = jax.lax.scan(step, init, rows_t)
-    return acc
+    base = D[-1].astype(jnp.float32)[None, :]
+    init = tuple((rows[i * h:(i + 1) * h, :1] * 0).astype(jnp.float32) +
+                 base for i in range(S))
+    accs, _ = jax.lax.scan(step, init, rows_t)
+    if S == 1:
+        return accs[0]
+    return jnp.concatenate(accs, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "n_states", "n_rows",

@@ -62,28 +62,28 @@ def dma_gather_sum(D, rows, *, nslots=8, group=1):
     assert n_groups % nslots == 0
 
     def kernel(rows_ref, D_ref, out_ref, scratch, sems):
-        def start(g, slot):
-            # issue `group` row DMAs into scratch[slot]; they all
-            # signal sems[slot], waited as one unit below
-            for j in range(group):
-                idx = rows_ref[g * group + j]
-                pltpu.make_async_copy(
-                    D_ref.at[pl.ds(idx, 1), :],
-                    scratch.at[slot, pl.ds(j, 1), :],
-                    sems.at[slot],
-                ).start()
+        def dma(g, slot, j):
+            idx = rows_ref[g * group + j]
+            return pltpu.make_async_copy(
+                D_ref.at[pl.ds(idx, 1), :],
+                scratch.at[slot, pl.ds(j, 1), :],
+                sems.at[slot, j],
+            )
 
-        def wait(slot):
-            # one wait per issued DMA (they share the slot semaphore)
-            for _ in range(group):
-                pltpu.semaphore_wait(sems.at[slot], 1)
+        def start(g, slot):
+            for j in range(group):
+                dma(g, slot, j).start()
 
         for s in range(nslots):
             start(s, s)
 
         def body(g, acc):
             slot = jax.lax.rem(g, nslots)
-            wait(slot)
+            for j in range(group):
+                # .wait() only uses the semaphore + byte count (both
+                # identical for every row copy), so reconstructing the
+                # handle with the current g's index is fine
+                dma(g, slot, j).wait()
             acc = acc + scratch[slot].sum(axis=0, keepdims=True)
 
             @pl.when(g + nslots < n_groups)
@@ -102,11 +102,11 @@ def dma_gather_sum(D, rows, *, nslots=8, group=1):
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(1,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((nslots, group, E), jnp.float32),
-                pltpu.SemaphoreType.DMA((nslots,)),
+                pltpu.SemaphoreType.DMA((nslots, group)),
             ],
         ),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -171,9 +171,15 @@ def main():
     def two_streams(D, Da, r1, r2):
         return D[r1].sum(axis=0) + Da[r2].sum(axis=0)
 
+    @jax.jit
+    def two_streams_same_table(D, r1, r2):
+        return D[r1].sum(axis=0) + D[r2].sum(axis=0)
+
     dt1 = timed(xla_gather_flat, D, rows)
     dt2 = timed(two_streams, D, D2, rows, rows2)
+    dt2s = timed(two_streams_same_table, D, rows, rows2)
     print(f"1 stream {dt1 * 1e3:.2f} ms vs 2 streams {dt2 * 1e3:.2f} ms "
+          f"(same table: {dt2s * 1e3:.2f} ms) "
           f"-> overlap factor {2 * dt1 / dt2:.2f}x "
           f"(1.0 = serialized, 2.0 = full overlap)", flush=True)
 
@@ -183,6 +189,77 @@ def main():
     dt_s = timed(xla_gather_flat, D, rows_sorted)
     print(f"random {dt_r / N * 1e9:.2f} ns/row vs sorted "
           f"{dt_s / N * 1e9:.2f} ns/row", flush=True)
+
+    # --- 5: does the overlap carry to the engine's scan-accumulate? --- #
+    # The production hot loop is accumulate() -- lax.scan over 16-slot
+    # blocks, [B, 16, E] gather per step, running [B, E] accumulator --
+    # measured at ~6.7 ns/row (the round-2 speed of light).  If two
+    # independent gather streams overlap there too, splitting the batch
+    # (or the Q axis) in two concurrent streams is a free ~1.5x.
+    from rappas_tpu.place.engine import accumulate
+
+    B, Q = 16384, 144
+    rowsBQ = jnp.asarray(
+        rng.integers(0, n_rows, (B, Q)).astype(np.int32))
+    NBQ = B * Q
+
+    dt = timed(accumulate, D, rowsBQ, n=10)
+    print(f"scan-accumulate [B={B},Q={Q}]      : {dt * 1e3:7.2f} ms  "
+          f"{dt / NBQ * 1e9:5.2f} ns/row", flush=True)
+
+    @jax.jit
+    def acc_split_b(D, r):
+        h = B // 2
+        return accumulate(D, r[:h]), accumulate(D, r[h:])
+
+    dt = timed(acc_split_b, D, rowsBQ, n=10)
+    print(f"2 half-B scans (same jit)          : {dt * 1e3:7.2f} ms  "
+          f"{dt / NBQ * 1e9:5.2f} ns/row", flush=True)
+
+    @jax.jit
+    def acc_split_q(D, r):
+        h = Q // 2
+        return accumulate(D, r[:, :h]) + accumulate(D, r[:, h:])
+
+    dt = timed(acc_split_q, D, rowsBQ, n=10)
+    print(f"2 half-Q scans (same jit)          : {dt * 1e3:7.2f} ms  "
+          f"{dt / NBQ * 1e9:5.2f} ns/row", flush=True)
+
+    @jax.jit
+    def acc_dual_body(D, r, block_q=16):
+        # one scan whose body issues TWO independent half-B gathers
+        h = B // 2
+        r1 = r[:h].reshape(h, -1, block_q).transpose(1, 0, 2)
+        r2 = r[h:].reshape(h, -1, block_q).transpose(1, 0, 2)
+
+        def body(acc, rr):
+            a, b = acc
+            return (a + D[rr[0]].sum(axis=1),
+                    b + D[rr[1]].sum(axis=1)), None
+        init = (jnp.zeros((h, E), jnp.float32),) * 2
+        (a, b), _ = jax.lax.scan(body, init, (r1, r2))
+        return a, b
+
+    dt = timed(acc_dual_body, D, rowsBQ, n=10)
+    print(f"1 scan, 2 gathers per body         : {dt * 1e3:7.2f} ms  "
+          f"{dt / NBQ * 1e9:5.2f} ns/row", flush=True)
+
+    @jax.jit
+    def acc_quad_body(D, r, block_q=16):
+        q4 = B // 4
+        rs = [r[i * q4:(i + 1) * q4].reshape(q4, -1, block_q)
+              .transpose(1, 0, 2) for i in range(4)]
+
+        def body(acc, rr):
+            return tuple(a + D[x].sum(axis=1)
+                         for a, x in zip(acc, rr)), None
+        init = (jnp.zeros((q4, E), jnp.float32),) * 4
+        accs, _ = jax.lax.scan(body, init, tuple(rs))
+        return accs
+
+    dt = timed(acc_quad_body, D, rowsBQ, n=10)
+    print(f"1 scan, 4 gathers per body         : {dt * 1e3:7.2f} ms  "
+          f"{dt / NBQ * 1e9:5.2f} ns/row", flush=True)
 
 
 if __name__ == "__main__":
