@@ -440,7 +440,11 @@ def finalize_postings_local(light_pairs: jax.Array, lrows: jax.Array,
     * ``uniq_rows``: batch-deduplicated table rows.  ``lrows`` is then
       the inverse map into ``uniq_rows``: the big table is gathered once
       per *unique* k-mer and windows re-gather from the small compacted
-      table at the fast rate.  Host decides when this wins.
+      table at the fast rate.  Host decides when this wins.  For a
+      2-part split table, pass a TUPLE ``(u1, u2)`` of per-part row
+      indices (part-local, concatenated in order): each unique row is
+      then fetched from its own part only -- gathering both parts per
+      row defeats the fast path (probe5: 5.21 -> 3.06 ms).
     * ``dense_slots``/``slot_read``: compact dense side.  Sources
       scatter into ``[n_slots + 1, E]`` (slot per read WITH dense
       content, unique; pads -> the extra zero row) instead of
@@ -465,7 +469,14 @@ def finalize_postings_local(light_pairs: jax.Array, lrows: jax.Array,
             dense_slots].add(dense_rows)
 
     if uniq_rows is not None:
-        compact = light_gather(parts, uniq_rows)      # [U, 2P]
+        if isinstance(uniq_rows, tuple):
+            # part-routed: each unique row fetched from its own part
+            # (probe5 V2 -- gathering both parts per row is ~1.7x
+            # slower than one routed gather per part)
+            compact = jnp.concatenate(
+                [p[u] for p, u in zip(parts, uniq_rows)], axis=0)
+        else:
+            compact = light_gather(parts, uniq_rows)  # [U, 2P]
         g = compact[lrows]            # lrows = inverse map, fast table
     else:
         g = light_gather(parts, lrows)               # [B, Q, 2P]
@@ -975,14 +986,39 @@ class PlacementEngine:
             lrows = packed
 
         uniq_dev = None
-        if self._light_slow:
+        if self._light_slow or len(self.light_parts) == 2:
             uniq, inv = _fast_unique_inverse(lrows.ravel())
+            split = len(self.light_parts) == 2
+            # Payoff conditions differ (probe5, docs/PERF.md round 3):
+            # a SPLIT table pays the alternating-parts penalty (~17
+            # ns/row vs ~3 lone) on every window, so part-routed
+            # two-stage wins on the unique-count cap alone (5.21 ->
+            # 3.06 ms at U = windows/2); a single slow table only wins
+            # when the unique stage cuts the gather count enough.
             if uniq.shape[0] <= self.TWO_STAGE_MAX_UNIQUE and \
-                    uniq.shape[0] * 3 <= lrows.size:
-                U = _pow2(uniq.shape[0])
-                uniq_pad = np.full(U, nl, np.int32)
-                uniq_pad[:uniq.shape[0]] = uniq
-                uniq_dev = self._put_repl(uniq_pad)
+                    (split or uniq.shape[0] * 3 <= lrows.size):
+                if split:
+                    # torch.unique returns sorted rows, so part-0
+                    # uniques are a prefix: route each unique row to
+                    # its OWN part (one gather per part per program --
+                    # never both parts for one row).  Pad slots hold
+                    # row 0 of each part; the inverse map never points
+                    # at them.
+                    H1 = self.light_parts[0].shape[0]
+                    n1 = int(np.searchsorted(uniq, H1))
+                    U1 = _pow2(max(n1, 1))
+                    U2 = _pow2(max(uniq.shape[0] - n1, 1))
+                    u1 = np.zeros(U1, np.int32)
+                    u1[:n1] = uniq[:n1]
+                    u2 = np.zeros(U2, np.int32)
+                    u2[:uniq.shape[0] - n1] = uniq[n1:] - H1
+                    uniq_dev = (self._put_repl(u1), self._put_repl(u2))
+                    inv = np.where(inv < n1, inv, U1 + (inv - n1))
+                else:
+                    U = _pow2(uniq.shape[0])
+                    uniq_pad = np.full(U, nl, np.int32)
+                    uniq_pad[:uniq.shape[0]] = uniq
+                    uniq_dev = self._put_repl(uniq_pad)
                 lrows = inv.reshape(lrows.shape).astype(np.int32)
 
         out = finalize_postings_v2(

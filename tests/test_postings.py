@@ -308,6 +308,21 @@ def test_postings_split_light_table(db, monkeypatch):
     compare(db, engine, reads)
 
 
+def test_postings_split_no_two_stage_fallback(db, monkeypatch):
+    """Split table with the two-stage gather disabled (unique cap 0):
+    the both-parts + select fallback path must stay oracle-correct."""
+    pairs_bytes = (db.postings_tables(8).light_keys.shape[0] + 1) * 64
+    monkeypatch.setattr(PlacementEngine, "LIGHT_SPLIT_BYTES",
+                        pairs_bytes // 2 + 64)
+    monkeypatch.setattr(PlacementEngine, "TWO_STAGE_MAX_UNIQUE", 0)
+    engine = PlacementEngine(db, table="postings")
+    assert len(engine.light_parts) == 2
+    reads = random_reads(db, 10, 30, seed=31)
+    reads += [db.alphabet.kmer_to_string(int(k), db.k) * 4
+              for k in db.keys[:3]]
+    compare(db, engine, reads)
+
+
 def test_postings_two_stage_unique(db, monkeypatch):
     """Two-stage batch-unique gather (forced): scores bit-equal to the
     direct-gather engine."""
