@@ -283,42 +283,65 @@ class ARLauncher:
                 f"alignment (AR-only: {extra}, missing: {missing}). "
                 "Re-run ancestral reconstruction for these inputs or "
                 "point --ardir at the matching outputs.")
-        n_sites = self._scan_ar_sites(paths["probas"])
-        if n_sites != expected_sites:
+        max_site, node_rows = self._scan_ar_sites(paths["probas"])
+        if max_site != expected_sites:
             raise SystemExit(
                 f"--ardir {ar_dir} does not match the current inputs: AR "
-                f"posteriors cover {n_sites} sites but the current "
+                f"posteriors cover {max_site} sites but the current "
                 f"extended alignment has {expected_sites} columns (did "
                 "the alignment or --ratio-reduction change?). Re-run "
                 "ancestral reconstruction for these inputs.")
+        # per-node coverage: a truncated output (disk full / killed AR
+        # run) usually cuts a node's site block mid-way while the file
+        # still reaches site ``expected_sites`` for earlier nodes
+        short = {n: c for n, c in node_rows.items()
+                 if c != expected_sites}
+        if short:
+            n, c = next(iter(short.items()))
+            raise SystemExit(
+                f"AR posterior output {paths['probas']} is truncated or "
+                f"malformed: node {n!r} has {c} posterior rows, expected "
+                f"{expected_sites} ({len(short)} node(s) affected). The "
+                "AR run likely died mid-write (disk full / OOM); re-run "
+                "ancestral reconstruction.")
 
-    def _scan_ar_sites(self, probas_path: Path) -> int:
-        """Max 1-based site index present in the AR posterior output."""
+    def _scan_ar_sites(self, probas_path: Path):
+        """(max 1-based site index, rows-per-node) in the AR posterior
+        output."""
         max_site = 0
+        node_rows: dict[str, int] = {}
         with open(probas_path) as f:
             if self.program == AR_PHYML:
                 for line in f:         # rows: site \t node \t p...
-                    tok = line.split("\t", 1)[0].strip()
+                    parts = line.split("\t", 3)
+                    tok = parts[0].strip()
                     if tok.isdigit():
                         max_site = max(max_site, int(tok))
+                        if len(parts) > 1:
+                            node = parts[1].strip()
+                            node_rows[node] = node_rows.get(node, 0) + 1
             elif self.program == AR_RAXMLNG:
                 for line in f:         # rows: node \t site \t state...
-                    parts = line.split("\t", 2)
+                    parts = line.split("\t", 3)
                     if len(parts) > 1 and parts[1].strip().isdigit():
                         max_site = max(max_site, int(parts[1]))
+                        node = parts[0].strip()
+                        node_rows[node] = node_rows.get(node, 0) + 1
             else:                      # PAML rst marginal sections
-                in_section = False
+                node = None
                 for line in f:
                     if "Prob distribution at node" in line:
-                        in_section = True
+                        node = line.rsplit("node", 1)[1].split(",")[0] \
+                            .strip()
                         continue
                     if line.startswith("(") or line.startswith(
                             "Best amino acids reconstructed"):
-                        in_section = False
+                        node = None
                         continue
-                    if not in_section:
+                    if node is None:
                         continue
                     toks = line.split()
                     if toks and toks[0].isdigit() and "(" in line:
                         max_site = max(max_site, int(toks[0]))
-        return max_site
+                        node_rows[node] = node_rows.get(node, 0) + 1
+        return max_site, node_rows

@@ -177,9 +177,15 @@ def build_database(ref_align_path, ref_tree_path, workdir,
         launcher.launch(ar_path, f_phylip, f_tree_nolabel)
     else:
         log(f"reusing AR outputs from {ar_path}")
-        launcher.validate_existing(ar_path, f_phylip,
-                                   set(ext_align.labels),
-                                   ext_align.length)
+    # sanity-gate the AR outputs on BOTH paths: the reference parses
+    # PhyML stats and aborts with an actionable error on malformed
+    # output (ARProcessLauncher.java:302-314,737-797); a truncated
+    # fresh run (disk full, OOM-killed AR) must fail here with the
+    # leaf-set/site-count mismatch spelled out, not as a downstream
+    # parser error
+    launcher.validate_existing(ar_path, f_phylip,
+                               set(ext_align.labels),
+                               ext_align.length)
 
     # ---------------------------------------------------------------- #
     # 6. parse AR outputs
@@ -287,6 +293,36 @@ def generate_kmers(ar: ARResults, extended, ext_align, original: Tree,
     else:
         nodes = [n.id for n in ar.ar_tree.nodes if not n.is_leaf]
     log(f"{len(nodes)} nodes tested, threshold log10={float(thr):.6f}")
+
+    # posterior coverage gate: unparsed rows stay NaN
+    # (rappas_tpu.ar.wrappers) and a node with NaN posteriors would
+    # silently emit zero k-mers -- a PARTIALLY covered node means a
+    # truncated AR output and must abort (the reference's analog:
+    # parsed-output sanity checks, ARProcessLauncher.java:302-314).
+    # Nodes the AR program never reports at all (e.g. the re-rooting
+    # surgery's added_root, which PhyML has no posteriors for) are
+    # skipped like the reference's loop over parsed results.
+    partial, absent = [], []
+    for nid in nodes:
+        site_nan = np.isnan(ar.probas[nid]).any(axis=-1)
+        if site_nan.all():
+            absent.append(nid)
+        elif site_nan.any():
+            partial.append(nid)
+    if partial:
+        nid = partial[0]
+        lbl = ar.ar_tree.by_id(nid).label
+        raise SystemExit(
+            f"AR posteriors are incomplete: {len(partial)} of "
+            f"{len(nodes)} tested nodes have missing per-site "
+            f"probabilities (first: AR node {nid} {lbl!r}). The AR "
+            "output is truncated or belongs to different inputs; re-run "
+            "ancestral reconstruction.")
+    if absent:
+        labels = [ar.ar_tree.by_id(n).label for n in absent[:3]]
+        log(f"{len(absent)} node(s) without AR posteriors skipped "
+            f"(not reported by the AR program): {labels}")
+        nodes = [n for n in nodes if n not in set(absent)]
 
     use_exact = gap_jumps or config.exact_explorer
     gap_intervals = ext_align.gap_intervals() if use_exact else None

@@ -56,7 +56,6 @@ class ShardedEngine(PlacementEngine):
         table = self.resolve_table(db, table, "f32",
                                    self.DIRECT_BYTE_LIMIT * self.mp)
         self.table = table
-        self._maybe_enable_x64(table)
         self.scale = jnp.float32(1)
         if table == "direct":
             dense = self._pad_cols(db.dense_matrix(pad_rows=1))
@@ -68,10 +67,14 @@ class ShardedEngine(PlacementEngine):
             dense = self._pad_cols(db.compact_matrix(pad_rows=1))
             self.n_rows = dense.shape[0]
             self.D = jax.device_put(dense, self._sh(None, "mp"))
-            keys = db.keys
             if db.alphabet.n_states ** db.k <= 2 ** 31 - 1:
-                keys = keys.astype(np.int32)
-            self.keys_dev = jax.device_put(keys, self._sh())
+                self.keys_dev = jax.device_put(
+                    db.keys.astype(np.int32), self._sh())
+            else:
+                # >31-bit key space: host lookup, int32 rows to device
+                # (see PlacementEngine -- no x64 on device)
+                self.keys_dev = None
+                self._host_lookup = True
             self._postings = None
         elif table == "postings":
             self._postings = PostingsShardedPlacement(

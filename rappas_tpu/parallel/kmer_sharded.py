@@ -26,12 +26,20 @@ except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
 from rappas_tpu.db import PhyloKmerDB
-from rappas_tpu.place.engine import (BatchResult, accumulate, compact_rows,
-                                     finalize, kmer_indices64)
+from rappas_tpu.place.engine import (BatchResult, accumulate, finalize,
+                                     host_kmer_indices, searchsorted_rows)
 
 
 class KmerShardedPlacement:
-    """Placement with the compact table sharded by k-mer range over mp."""
+    """Placement with the compact table sharded by k-mer range over mp.
+
+    The sorted-key search runs once on HOST (numpy int64 -- TPUs have no
+    native int64 and keys need >31 bits at amino k >= 8); the device
+    receives *global* int32 row ids and each shard folds them into its
+    own range with two compares (out-of-range -> the shard's zero pad
+    row).  This also deletes the per-shard duplicate searchsorted the
+    first design paid.
+    """
 
     def __init__(self, db: PhyloKmerDB, mesh: Mesh,
                  keep_at_most: int = 7):
@@ -42,14 +50,9 @@ class KmerShardedPlacement:
         self.thr = jnp.float32(db.thr_log10)
         mp = mesh.shape["mp"]
 
-        # split the sorted keys into mp equal-count ranges, padding each
-        # shard to the common length with an unreachable sentinel key
+        # split the compact matrix into mp equal-count row ranges
         n = db.n_kmers
         per = -(-n // mp)
-        S = db.alphabet.n_states
-        sentinel = S ** db.k  # larger than any valid k-mer index
-        dtype = np.int32 if sentinel <= 2 ** 31 - 1 else np.int64
-        keys_sh = np.full((mp, per), sentinel, dtype)
         compact = db.compact_matrix(pad_rows=0)
         E = compact.shape[1]
         # per-shard compact matrix + 1 pad (miss) row
@@ -57,38 +60,38 @@ class KmerShardedPlacement:
         for i in range(mp):
             lo, hi = i * per, min((i + 1) * per, n)
             if hi > lo:
-                keys_sh[i, :hi - lo] = db.keys[lo:hi].astype(dtype)
                 D_sh[i, :hi - lo] = compact[lo:hi]
         self.n_local_rows = per + 1
+        self._per = per
 
-        self.keys_dev = jax.device_put(
-            keys_sh, NamedSharding(mesh, P("mp", None)))
         self.D = jax.device_put(
             D_sh, NamedSharding(mesh, P("mp", None, None)))
 
         k, K = self.k, keep_at_most
         thr = self.thr
-        n_states = db.alphabet.n_states
 
-        def shard_step(D_local, keys_local, codes, lengths):
-            # D_local [1, per+1, E], keys_local [1, per],
-            # codes [B/dp, L], lengths [B/dp]
-            idx = kmer_indices64(codes, k, n_states)
-            rows = compact_rows(keys_local[0], idx)
-            acc = accumulate(D_local[0], rows)
+        def shard_step(D_local, rows, lengths):
+            # D_local [1, per+1, E], rows [B/dp, Q] GLOBAL row ids
+            # (miss -> n), lengths [B/dp]
+            i = jax.lax.axis_index("mp")
+            local = rows - i * per
+            hit = (local >= 0) & (local < per)
+            rows_local = jnp.where(hit, local, per)
+            acc = accumulate(D_local[0], rows_local)
             acc = jax.lax.psum(acc, "mp")
             return finalize(acc, lengths, thr, k, K)
 
         self._step = jax.jit(shard_map(
             shard_step, mesh=mesh,
-            in_specs=(P("mp", None, None), P("mp", None),
-                      P("dp", None), P("dp")),
+            in_specs=(P("mp", None, None), P("dp", None), P("dp")),
             out_specs=(P("dp", None), P("dp", None), P("dp", None),
                        P("dp"))))
 
     def score(self, codes: np.ndarray, lengths: np.ndarray) -> BatchResult:
-        te, ts, lwr, nm = self._step(self.D, self.keys_dev,
-                                     jnp.asarray(codes),
+        kidx = host_kmer_indices(codes, lengths, self.k,
+                                 self.db.alphabet.n_states)
+        rows = searchsorted_rows(self.db.keys, kidx)
+        te, ts, lwr, nm = self._step(self.D, jnp.asarray(rows),
                                      jnp.asarray(lengths))
         return BatchResult(np.asarray(te), np.asarray(ts),
                            np.asarray(lwr), np.asarray(nm))

@@ -191,8 +191,9 @@ def kmer_indices64(codes: jax.Array, k: int, n_states: int) -> jax.Array:
     """[B, L] int8 codes -> [B, Q] k-mer indices, -1 for windows
     containing ambiguity/padding.  Used by the compact-table mode where
     ``n_states**k`` exceeds the dense-row space (protein mode, large k).
-    int32 when the index space fits, else int64 (requires x64 -- the
-    engine enables it).
+    int32 when the index space fits; the engine routes >31-bit spaces
+    through a host-side numpy lookup instead (TPUs have no native
+    int64), so the int64 branch only serves explicit x64 callers.
     """
     B, L = codes.shape
     Q = L - k + 1
@@ -353,24 +354,33 @@ def finalize_postings_v2(light_parts: tuple, lrows: jax.Array,
 
 
 def light_gather(parts: tuple, lrows: jax.Array) -> jax.Array:
-    """Row gather from a light table stored as 1 or 2 height-split parts.
+    """Row gather from a light table stored as N height-split parts.
 
     Measured v5e gather rates (scripts/postings_probe2.py): tables under
     ~100 MB gather at ~5-7 ns/row (XLA stages them through VMEM); bigger
     tables fall to ~23 ns/row (HBM random-row path).  Splitting a
-    too-big table into two sub-100MB halves costs two fast gathers +
-    a select instead of one slow gather -- ~1.7x for 100-200 MB tables.
-    Row indices < H1 hit part 0; the rest (including the miss row, last)
-    hit part 1.
+    too-big table into sub-100MB parts keeps every part on the fast
+    rate.  Row indices are global: part ``i`` covers rows
+    ``[off_i, off_i + H_i)`` in storage order (the miss row is the last
+    row of the last part).
+
+    Cost scales with the part count (each part is gathered for every
+    row, then selected), so this full-select form is only used for
+    SMALL row sets (ambiguity alternatives) or as the correctness
+    fallback; the hot path routes batch-unique rows to their own parts
+    (see ``uniq_rows`` in :func:`finalize_postings_local`).
     """
     if len(parts) == 1:
         return parts[0][lrows]
-    T1, T2 = parts
-    H1 = T1.shape[0]
-    in1 = lrows < H1
-    g1 = T1[jnp.minimum(lrows, H1 - 1)]
-    g2 = T2[jnp.clip(lrows - H1, 0, T2.shape[0] - 1)]
-    return jnp.where(in1[..., None], g1, g2)
+    out = None
+    off = 0
+    for p in parts:
+        H = p.shape[0]
+        g = p[jnp.clip(lrows - off, 0, H - 1)]
+        out = g if out is None else \
+            jnp.where((lrows >= off)[..., None], g, out)
+        off += H
+    return out
 
 
 def finalize_postings_local(light_pairs: jax.Array, lrows: jax.Array,
@@ -434,17 +444,17 @@ def finalize_postings_local(light_pairs: jax.Array, lrows: jax.Array,
     Keyword extensions (round 3, all measured on v5e --
     scripts/postings_probe*.py, docs/PERF.md):
 
-    * ``light_parts``: the light table as 1-2 height-split parts so each
+    * ``light_parts``: the light table as N height-split parts so each
       stays under the ~100 MB VMEM-staging cliff (:func:`light_gather`);
       overrides ``light_pairs``.
     * ``uniq_rows``: batch-deduplicated table rows.  ``lrows`` is then
       the inverse map into ``uniq_rows``: the big table is gathered once
       per *unique* k-mer and windows re-gather from the small compacted
       table at the fast rate.  Host decides when this wins.  For a
-      2-part split table, pass a TUPLE ``(u1, u2)`` of per-part row
+      split table, pass a TUPLE ``(u1, ..., uN)`` of per-part row
       indices (part-local, concatenated in order): each unique row is
-      then fetched from its own part only -- gathering both parts per
-      row defeats the fast path (probe5: 5.21 -> 3.06 ms).
+      then fetched from its own part only -- gathering every part per
+      row defeats the fast path (probe5: 5.21 -> 3.06 ms at N=2).
     * ``dense_slots``/``slot_read``: compact dense side.  Sources
       scatter into ``[n_slots + 1, E]`` (slot per read WITH dense
       content, unique; pads -> the extra zero row) instead of
@@ -662,11 +672,21 @@ class PlacementEngine:
     DIRECT_INDEX_LIMIT = 1 << 30
     #: single light-table part size above which the v5e gather falls off
     #: the ~5-7 ns/row VMEM-staged rate to ~23 ns/row (measured,
-    #: scripts/postings_probe2.py); tables up to 2x this are height-split
+    #: scripts/postings_probe2.py); bigger tables are height-split into
+    #: up to MAX_LIGHT_PARTS equal parts
     LIGHT_SPLIT_BYTES = 96 << 20
-    #: batch-unique row-count cap for the two-stage gather (measured
-    #: crossover: U=131k costs 5.4 ms vs 13+ ms direct at 585k windows)
-    TWO_STAGE_MAX_UNIQUE = 131072
+    #: split-part cap (~MAX * LIGHT_SPLIT_BYTES of light table, ~3 GB:
+    #: beyond that the table no longer fits HBM comfortably anyway and
+    #: multi-chip sharding is the answer); past it the single slow
+    #: table is the fallback
+    MAX_LIGHT_PARTS = 32
+    #: batch-unique row-count cap for the two-stage gather.  The real
+    #: constraint is the compacted table's byte size (must stay under
+    #: LIGHT_SPLIT_BYTES for the re-gather to run at the fast rate,
+    #: checked separately); this cap just bounds compile-shape variety
+    #: and serves as a test hook.  Round-3 measurement: U=131k costs
+    #: 5.4 ms vs 13+ ms direct at 585k windows.
+    TWO_STAGE_MAX_UNIQUE = 1 << 21
 
     def __init__(self, db: PhyloKmerDB, keep_at_most: int = 7,
                  treat_ambiguities: bool = True,
@@ -680,7 +700,6 @@ class PlacementEngine:
         table = self.resolve_table(db, table, precision,
                                    self.DIRECT_BYTE_LIMIT)
         self.table = table
-        self._maybe_enable_x64(table)
         if table == "direct":
             if precision == "u16":
                 dense, scale = db.dense_matrix_u16(pad_rows=1)
@@ -692,10 +711,20 @@ class PlacementEngine:
                 dense, scale = db.compact_matrix_u16(pad_rows=1)
             else:
                 dense, scale = db.compact_matrix(pad_rows=1), np.float32(1)
-            keys = db.keys
             if self.alphabet.n_states ** self.k <= 2 ** 31 - 1:
-                keys = keys.astype(np.int32)
-            self.keys_dev = jax.device_put(keys, device)
+                # k-mer indices fit int32: lookup on device (one
+                # searchsorted), codes ship as 1 B/base
+                self.keys_dev = jax.device_put(
+                    db.keys.astype(np.int32), device)
+                self._host_lookup = False
+            else:
+                # >31-bit index space (amino k >= 8: 20^8).  TPUs have
+                # no native int64 -- jax emulates it as 2x int32 under
+                # x64 mode.  The sorted-key search runs on HOST instead
+                # (numpy int64) and int32 table rows ship to the
+                # device: no x64 anywhere.
+                self.keys_dev = None
+                self._host_lookup = True
         elif table == "postings":
             if precision == "u16":
                 raise ValueError(
@@ -714,15 +743,20 @@ class PlacementEngine:
             pairs = np.concatenate(
                 [pt.light_edges, pt.light_deltas.view(np.int32)], axis=1)
             self._light_slow = pairs.nbytes > self.LIGHT_SPLIT_BYTES
-            if self._light_slow and pairs.shape[0] > 2 and \
-                    pairs.nbytes <= 2 * self.LIGHT_SPLIT_BYTES:
-                h1 = pairs.shape[0] // 2
-                self.light_parts = (
-                    jax.device_put(np.ascontiguousarray(pairs[:h1]),
-                                   device),
-                    jax.device_put(np.ascontiguousarray(pairs[h1:]),
-                                   device))
-                self._light_slow = False   # both halves VMEM-stageable
+            n_parts = -(-pairs.nbytes // max(self.LIGHT_SPLIT_BYTES, 1))
+            if self._light_slow and n_parts <= self.MAX_LIGHT_PARTS and \
+                    pairs.shape[0] > n_parts:
+                # N equal-height parts, each under the VMEM-staging
+                # cliff; multi-GB light tables (config 3: k=12 full DB
+                # on one chip) stay on the ~5-7 ns/row fast path via
+                # part-routed two-stage gathers
+                cuts = np.linspace(0, pairs.shape[0], n_parts + 1,
+                                   dtype=np.int64)
+                self.light_parts = tuple(
+                    jax.device_put(np.ascontiguousarray(pairs[lo:hi]),
+                                   device)
+                    for lo, hi in zip(cuts[:-1], cuts[1:]))
+                self._light_slow = False   # every part VMEM-stageable
             else:
                 self.light_parts = (jax.device_put(pairs, device),)
             space = self.alphabet.n_states ** self.k
@@ -763,6 +797,9 @@ class PlacementEngine:
         self.ambiguities_with_max = ambiguities_with_max
         self.precision = precision
         self.thr = jnp.float32(db.thr_log10)
+        #: compact mode with >31-bit k-mer index space: key lookup runs
+        #: on host (numpy int64) so the device never needs x64
+        self._host_lookup = False
 
     @classmethod
     def resolve_table(cls, db: PhyloKmerDB, table: str, precision: str,
@@ -783,15 +820,6 @@ class PlacementEngine:
         # large-tree regime: even one row per present k-mer is too
         # wide; switch to the light/heavy postings layout
         return "postings"
-
-    def _maybe_enable_x64(self, table: str) -> None:
-        if (table in ("compact", "postings") and
-                self.alphabet.n_states ** self.k > 2 ** 31 - 1 and
-                not jax.config.read("jax_enable_x64")):
-            # k-mer indices need >31 bits (e.g. amino k=8: 20^8); jax
-            # truncates int64 to int32 unless x64 is on.  int64 lookups
-            # are emulated on TPU -- acceptable for the protein niche.
-            jax.config.update("jax_enable_x64", True)
 
     def _init_host_codec(self) -> None:
         # max ambiguities per k-mer: floor(k^(1/S))
@@ -874,6 +902,10 @@ class PlacementEngine:
         if self.table == "direct":
             rows = kmer_rows(self._put_batch(codes), self.k,
                              self.alphabet.n_states, self.n_rows)
+        elif self._host_lookup:
+            # int64 index space: host numpy lookup, int32 rows to device
+            kidx = self._host_kmer_indices(codes, lengths)
+            rows = self._put_batch(searchsorted_rows(self.db.keys, kidx))
         else:
             idx = kmer_indices64(self._put_batch(codes), self.k,
                                  self.alphabet.n_states)
@@ -986,38 +1018,53 @@ class PlacementEngine:
             lrows = packed
 
         uniq_dev = None
-        if self._light_slow or len(self.light_parts) == 2:
+        if self._light_slow or len(self.light_parts) > 1:
             uniq, inv = _fast_unique_inverse(lrows.ravel())
-            split = len(self.light_parts) == 2
+            nparts = len(self.light_parts)
+            U = uniq.shape[0]
+            # the compacted [U, 2P] table must itself stay under the
+            # VMEM-staging cliff for the windows' re-gather to run at
+            # the fast rate
+            compact_ok = (U <= self.TWO_STAGE_MAX_UNIQUE and
+                          U * self.light_parts[0].shape[1] * 4 <=
+                          self.LIGHT_SPLIT_BYTES)
             # Payoff conditions differ (probe5, docs/PERF.md round 3):
             # a SPLIT table pays the alternating-parts penalty (~17
             # ns/row vs ~3 lone) on every window, so part-routed
-            # two-stage wins on the unique-count cap alone (5.21 ->
-            # 3.06 ms at U = windows/2); a single slow table only wins
-            # when the unique stage cuts the gather count enough.
-            if uniq.shape[0] <= self.TWO_STAGE_MAX_UNIQUE and \
-                    (split or uniq.shape[0] * 3 <= lrows.size):
-                if split:
-                    # torch.unique returns sorted rows, so part-0
-                    # uniques are a prefix: route each unique row to
-                    # its OWN part (one gather per part per program --
-                    # never both parts for one row).  Pad slots hold
-                    # row 0 of each part; the inverse map never points
-                    # at them.
-                    H1 = self.light_parts[0].shape[0]
-                    n1 = int(np.searchsorted(uniq, H1))
-                    U1 = _pow2(max(n1, 1))
-                    U2 = _pow2(max(uniq.shape[0] - n1, 1))
-                    u1 = np.zeros(U1, np.int32)
-                    u1[:n1] = uniq[:n1]
-                    u2 = np.zeros(U2, np.int32)
-                    u2[:uniq.shape[0] - n1] = uniq[n1:] - H1
-                    uniq_dev = (self._put_repl(u1), self._put_repl(u2))
-                    inv = np.where(inv < n1, inv, U1 + (inv - n1))
+            # two-stage wins whenever the compact table is small
+            # enough (5.21 -> 3.06 ms at U = windows/2); a single slow
+            # table only wins when the unique stage cuts the gather
+            # count enough.
+            if compact_ok and (nparts > 1 or U * 3 <= lrows.size):
+                if nparts > 1:
+                    # torch.unique returns sorted rows, so each part's
+                    # uniques form a contiguous run: route each unique
+                    # row to its OWN part (one gather per part per
+                    # program -- never every part for one row).  Pad
+                    # slots hold row 0 of each part; the inverse map
+                    # never points at them.
+                    heights = [p.shape[0] for p in self.light_parts]
+                    offs = np.concatenate(
+                        [[0], np.cumsum(heights)]).astype(np.int64)
+                    cuts = np.searchsorted(uniq, offs[1:])
+                    starts = np.concatenate([[0], cuts[:-1]])
+                    pads = np.array(
+                        [_pow2(max(int(c - s), 1))
+                         for s, c in zip(starts, cuts)], np.int64)
+                    us = []
+                    for i in range(nparts):
+                        n_i = int(cuts[i] - starts[i])
+                        u = np.zeros(pads[i], np.int32)
+                        u[:n_i] = uniq[starts[i]:cuts[i]] - offs[i]
+                        us.append(self._put_repl(u))
+                    uniq_dev = tuple(us)
+                    pad_off = np.concatenate([[0], np.cumsum(pads)])
+                    part_of = np.searchsorted(cuts, inv, side="right")
+                    inv = pad_off[part_of] + (inv - starts[part_of])
                 else:
-                    U = _pow2(uniq.shape[0])
-                    uniq_pad = np.full(U, nl, np.int32)
-                    uniq_pad[:uniq.shape[0]] = uniq
+                    Up = _pow2(U)
+                    uniq_pad = np.full(Up, nl, np.int32)
+                    uniq_pad[:U] = uniq
                     uniq_dev = self._put_repl(uniq_pad)
                 lrows = inv.reshape(lrows.shape).astype(np.int32)
 

@@ -76,6 +76,31 @@ def test_ardir_wrong_sites_aborts(tmp_path, fixtures_dir, raxml_ardir):
                tree=str(fixtures_dir / "tiny.tree"))
 
 
+def test_fresh_run_truncated_output_aborts(tmp_path, fixtures_dir,
+                                           raxml_ardir):
+    """A FRESH AR run whose output is truncated (disk full / OOM-killed
+    AR program) must abort with the actionable site-count mismatch, not
+    surface later as a parser error.  The reference gates fresh PhyML
+    runs on parsed stats (``ARProcessLauncher.java:302-314,737-797``);
+    here ``validate_existing`` runs after ``launch()`` too."""
+    probas = (raxml_ardir /
+              "extended_align.phylip.raxml.ancestralProbs").read_text()
+    lines = probas.splitlines()
+    truncated = "\n".join(lines[: len(lines) // 2]) + "\n"
+    fake = tmp_path / "raxml-ng"
+    fake.write_text(
+        "#!/bin/sh\n"
+        f"cp {raxml_ardir}/extended_align.phylip.raxml.ancestralTree .\n"
+        f"cp {tmp_path}/truncated.probas "
+        "extended_align.phylip.raxml.ancestralProbs\n")
+    (tmp_path / "truncated.probas").write_text(truncated)
+    fake.chmod(0o755)
+    cfg = BuildConfig(k=8, omega=1.5, states="nucl", ar_binary=str(fake))
+    with pytest.raises(SystemExit, match="truncated"):
+        build_database(fixtures_dir / "tiny.fasta",
+                       fixtures_dir / "tiny.tree", tmp_path / "wd", cfg)
+
+
 def test_ardir_missing_files_aborts(tmp_path, fixtures_dir, raxml_ardir):
     """Half-copied AR dir (probas file missing) fails fast."""
     broken = tmp_path / "broken_ar"

@@ -308,6 +308,48 @@ def test_postings_split_light_table(db, monkeypatch):
     compare(db, engine, reads)
 
 
+def test_postings_nway_split_light_table(db, monkeypatch):
+    """N-part height split (the multi-GB config-3 regime, forced tiny
+    here): part-routed two-stage gathers across 4+ parts must equal the
+    single-table result."""
+    pairs_bytes = (db.postings_tables(8).light_keys.shape[0] + 1) * 64
+    monkeypatch.setattr(PlacementEngine, "LIGHT_SPLIT_BYTES",
+                        pairs_bytes // 4 + 64)
+    engine = PlacementEngine(db, table="postings")
+    assert len(engine.light_parts) >= 4
+    reads = random_reads(db, 10, 30, seed=41)
+    reads += [db.alphabet.kmer_to_string(int(k), db.k) * 4
+              for k in db.keys[:6]]
+    compare(db, engine, reads)
+    # ambiguity alternatives take the full light_gather select across
+    # all N parts
+    amb = [r[:8] + "N" + r[9:] for r in random_reads(db, 6, 30, seed=43)]
+    compare(db, engine, amb)
+
+
+def test_postings_nway_split_matches_unsplit_bitwise(db, monkeypatch):
+    """Scores through a forced 5-part split are bit-equal to the unsplit
+    engine (same summation order per read)."""
+    e_ref = PlacementEngine(db, table="postings")
+    assert len(e_ref.light_parts) == 1
+    pairs_bytes = (db.postings_tables(8).light_keys.shape[0] + 1) * 64
+    monkeypatch.setattr(PlacementEngine, "LIGHT_SPLIT_BYTES",
+                        pairs_bytes // 5 + 64)
+    e_split = PlacementEngine(db, table="postings")
+    assert len(e_split.light_parts) >= 5
+    reads = random_reads(db, 12, 40, seed=47)
+    reads += [db.alphabet.kmer_to_string(int(k), db.k) * 5
+              for k in db.keys[:4]]
+    reads = reads * 2          # repetition so the unique stage engages
+    mat, lens = batch_of(reads)
+    r1 = e_ref.score(mat.copy(), lens.copy())
+    r2 = e_split.score(mat.copy(), lens.copy())
+    assert np.array_equal(r1.top_edges, r2.top_edges)
+    assert np.array_equal(r1.top_scores.view(np.uint32),
+                          r2.top_scores.view(np.uint32))
+    assert np.array_equal(r1.n_matched, r2.n_matched)
+
+
 def test_postings_split_no_two_stage_fallback(db, monkeypatch):
     """Split table with the two-stage gather disabled (unique cap 0):
     the both-parts + select fallback path must stay oracle-correct."""
