@@ -838,6 +838,14 @@ class PlacementEngine:
                           for c in a.ambiguities}
         for c in list(a.ambiguities):
             self._amb_alts[ord(c.lower())] = a.ambiguity_codes(c)
+        # flat tables for the vectorized single-ambiguity expansion:
+        # alt_tab[ascii, j] = j-th alternative state, alt_len[ascii] = W
+        max_alt = max(len(v) for v in self._amb_alts.values())
+        self._alt_tab = np.zeros((256, max_alt), np.int64)
+        self._alt_len = np.zeros(256, np.int64)
+        for o, alts in self._amb_alts.items():
+            self._alt_len[o] = len(alts)
+            self._alt_tab[o, :len(alts)] = np.asarray(alts)
 
     # -------------------------------------------------------------- #
     # device-placement hooks; the mesh-aware subclass
@@ -1109,32 +1117,92 @@ class PlacementEngine:
         Alternative generation reproduces the reference's cycling scheme
         (``AmbigSequenceKnife.java:240-258``): for W = prod(|alts_p|)
         alternatives, ambiguous position p takes ``alts_p[j mod |alts_p|]``
-        in alternative j.  (For a single ambiguous position -- the only
-        case reachable with default k -- this is the exact cartesian
-        expansion; with several it reproduces the reference's diagonal
-        enumeration including its duplicates.)
+        in alternative j.
+
+        Fully vectorized for single-ambiguity windows -- the ONLY kind
+        reachable at practical k, since ``max_ambig = floor(k^(1/S))``
+        (``AmbigSequenceKnife.java:95``) is 1 for every DNA k <= 15 and
+        every amino k: sliding-window counts via cumsum, one fancy-index
+        gather of the window codes, and a repeat/cumsum flattening of
+        the variable per-window alternative counts.  Multi-ambiguity
+        windows (DNA k >= 16 only) take a small per-window loop
+        reproducing the reference's diagonal enumeration including its
+        duplicates.
         """
         k, S = self.k, self.alphabet.n_states
         amb_mask = codes == AMBIG_CODE
-        if not amb_mask.any():
+        if not amb_mask.any() or self.max_ambig < 1:
+            return None
+        B, L = codes.shape
+        Q = L - k + 1
+        if Q <= 0:
             return None
         weights = S ** np.arange(k - 1, -1, -1, dtype=np.int64)
-        alt_rows, alt_win = [], []
-        win_read, win_inv_w = [], []
-        n_win = 0
+
+        def touched_windows(mask):
+            """(rows, window-ids) of every window containing a set
+            position of ``mask`` -- sparse sliding-window expansion
+            (ambiguities are rare; a dense [B, L] cumsum costs ~20 ms
+            per 16k-read batch, this is sub-ms at realistic N rates)."""
+            mb, mp = np.nonzero(mask)
+            lo = np.maximum(mp - (k - 1), 0)
+            hi = np.minimum(mp, Q - 1)
+            n = hi - lo + 1
+            tot = int(n.sum())
+            rb = np.repeat(mb, n)
+            rq = np.repeat(lo, n) + (np.arange(tot) -
+                                     np.repeat(np.cumsum(n) - n, n))
+            return rb, rq
+
+        # per-window ambiguity counts, sparsely: sort/collapse the
+        # touched (read, window) keys -- never materialises a [B, Q]
+        # counts array (the nonzero/add.at over it cost ~10 ms/batch)
+        rb, rq = touched_windows(amb_mask)
+        key = rb.astype(np.int64) * Q + rq
+        uniq_key, counts = np.unique(key, return_counts=True)
+        wb = (uniq_key // Q).astype(np.int64)
+        wq = (uniq_key % Q).astype(np.int64)
+        valid = (counts <= self.max_ambig) & \
+            (wq <= lengths[wb].astype(np.int64) - k)
+        in_read = np.arange(L)[None, :] < lengths[:, None]
+        pad_mask = (codes == PAD_CODE) & in_read   # mid-read junk only
+        if pad_mask.any():
+            pb, pq = touched_windows(pad_mask)
+            valid &= ~np.isin(uniq_key, pb.astype(np.int64) * Q + pq)
+
         is_mean = not self.ambiguities_with_max
-        for b in np.flatnonzero(amb_mask.any(axis=1)):
-            L = int(lengths[b])
-            Q = L - k + 1
-            if Q <= 0:
-                continue
-            row_amb = amb_mask[b, :L]
-            counts = np.convolve(row_amb, np.ones(k, np.int32),
-                                 "valid")  # per-window ambiguity count
-            bad = np.convolve(codes[b, :L] == PAD_CODE,
-                              np.ones(k, np.int32), "valid") > 0
-            for q in np.flatnonzero((counts > 0) &
-                                    (counts <= self.max_ambig) & ~bad):
+        kidx_parts, alt_win_parts = [], []
+        win_read_parts, win_inv_w_parts = [], []
+        n_win = 0
+
+        single = valid & (counts == 1)
+        sb, sq = wb[single], wq[single]
+        if sb.size:
+            win = codes[sb[:, None],
+                        sq[:, None] + np.arange(k)[None, :]]
+            win = win.astype(np.int64)            # [nw, k]
+            p = np.argmax(win < 0, axis=1)        # the ambiguous slot
+            chars = matrix[sb, sq + p]
+            # base index with 0 at the ambiguous slot (Horner; an int64
+            # matmul over materialised variants has no BLAS path and
+            # costs ~10x this), variant j adds alt_j * S^(k-1-p)
+            base = np.zeros(sb.size, np.int64)
+            for i in range(k):
+                base = base * S + np.maximum(win[:, i], 0)
+            Wn = self._alt_len[chars]             # [nw]
+            tot = int(Wn.sum())
+            awin = np.repeat(np.arange(sb.size), Wn)
+            j = np.arange(tot) - np.repeat(np.cumsum(Wn) - Wn, Wn)
+            alt_codes = self._alt_tab[chars[awin], j]
+            kidx_parts.append(base[awin] + alt_codes * weights[p[awin]])
+            alt_win_parts.append(awin.astype(np.int32))
+            win_read_parts.append(sb.astype(np.int32))
+            win_inv_w_parts.append((1.0 / Wn).astype(np.float32))
+            n_win = sb.size
+
+        multi = valid & (counts > 1)
+        if multi.any():                           # DNA k >= 16 only
+            for b, q in zip(wb[multi], wq[multi]):
                 window = codes[b, q:q + k].astype(np.int64)
                 amb_pos = np.flatnonzero(window < 0)
                 alts = [self._amb_alts[int(matrix[b, q + p])]
@@ -1144,17 +1212,17 @@ class PlacementEngine:
                 for p, al in zip(amb_pos, alts):
                     variants[:, p] = np.asarray(al)[
                         np.arange(W) % len(al)]
-                alt_rows.append(variants @ weights)
-                alt_win.append(np.full(W, n_win, np.int32))
-                win_read.append(b)
-                win_inv_w.append(1.0 / W)
+                kidx_parts.append(variants @ weights)
+                alt_win_parts.append(np.full(W, n_win, np.int32))
+                win_read_parts.append(np.int32(b)[None])
+                win_inv_w_parts.append(np.float32(1.0 / W)[None])
                 n_win += 1
         if n_win == 0:
             return None
-        return (np.concatenate(alt_rows),        # raw k-mer indices
-                np.concatenate(alt_win),
-                np.array(win_read, np.int32),
-                np.array(win_inv_w, np.float32),
+        return (np.concatenate(kidx_parts),       # raw k-mer indices
+                np.concatenate(alt_win_parts),
+                np.concatenate(win_read_parts),
+                np.concatenate(win_inv_w_parts),
                 np.full(n_win, is_mean, bool))
 
     def _host_kmer_indices(self, codes: np.ndarray,
