@@ -68,6 +68,58 @@ def load(name: str) -> ctypes.CDLL:
 
 
 # ------------------------------------------------------------------ #
+# jplace row formatter wrapper
+# ------------------------------------------------------------------ #
+
+def _jp_lib() -> ctypes.CDLL:
+    lib = load("jplacefmt")
+    if not getattr(lib, "_jp_configured", False):
+        c = ctypes
+        lib.jp_format_rows.restype = c.c_longlong
+        lib.jp_format_rows.argtypes = [
+            c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p, c.c_int64,
+            c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,
+            c.c_int, c.c_void_p, c.c_int64, c.c_void_p]
+        lib._jp_configured = True
+    return lib
+
+
+def format_placement_rows(nodes: np.ndarray, scores: np.ndarray,
+                          lwr: np.ndarray, row_off: np.ndarray,
+                          estr_buf: bytes, estr_off: np.ndarray,
+                          dstr_buf: bytes, dstr_off: np.ndarray,
+                          guppy: bool):
+    """Format a batch of jplace ``"p"`` row lists in one native call.
+
+    Returns ``(text bytes, out_off int64[n+1])`` where placement ``i``'s
+    rows are ``text[out_off[i]:out_off[i+1]]``.  Raises
+    :class:`NativeUnavailable` when the toolchain is missing (callers
+    fall back to the python formatter).
+    """
+    lib = _jp_lib()
+    n = row_off.shape[0] - 1
+    nodes = np.ascontiguousarray(nodes, np.int32)
+    scores = np.ascontiguousarray(scores, np.float32)
+    lwr = np.ascontiguousarray(lwr, np.float32)
+    row_off = np.ascontiguousarray(row_off, np.int64)
+    estr_off = np.ascontiguousarray(estr_off, np.int32)
+    dstr_off = np.ascontiguousarray(dstr_off, np.int32)
+    out_off = np.empty(n + 1, np.int64)
+    cap = int(nodes.shape[0]) * 96 + 64
+    while True:
+        buf = ctypes.create_string_buffer(cap)
+        written = lib.jp_format_rows(
+            nodes.ctypes.data, scores.ctypes.data, lwr.ctypes.data,
+            row_off.ctypes.data, n,
+            estr_buf, estr_off.ctypes.data,
+            dstr_buf, dstr_off.ctypes.data,
+            1 if guppy else 0, buf, cap, out_off.ctypes.data)
+        if written >= 0:
+            return buf.raw[:written], out_off
+        cap *= 2
+
+
+# ------------------------------------------------------------------ #
 # wordexplorer wrapper
 # ------------------------------------------------------------------ #
 

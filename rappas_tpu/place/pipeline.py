@@ -29,7 +29,7 @@ import numpy as np
 from rappas_tpu.db import PhyloKmerDB
 from rappas_tpu.place.engine import PlacementEngine
 from rappas_tpu.place.jplace import JplaceWriter
-from rappas_tpu.seqio import ReadBatcher, md5_checksum, read_sequences
+from rappas_tpu.seqio import BlockBatcher, read_record_blocks
 from rappas_tpu.utils import log
 
 _UNPLACED = "unplaced"
@@ -76,9 +76,10 @@ def place_queries(db: PhyloKmerDB, query_path, workdir,
     arr = db.arrays
 
     # seen[md5] is: list (pending duplicate headers, first occurrence
-    # still in flight) | placement dict | _UNPLACED | _FILTERED
+    # still in flight) | (BatchPlacements, read index) | _UNPLACED |
+    # _FILTERED
     seen: dict[bytes, object] = {}
-    batcher = ReadBatcher(batch_size=config.batch_size)
+    batcher = BlockBatcher(batch_size=config.batch_size)
     t0 = time.time()
     counts = {"total": 0, "unique": 0, "unplaced": 0}
 
@@ -99,76 +100,112 @@ def place_queries(db: PhyloKmerDB, query_path, workdir,
     resolution = db.meta.get("orinodes_resolution")
     notplaced = open(logs / f"notplaced_{qname}.tsv{suffix}", "w")
 
-    def sharded_reads():
-        reads = read_sequences(query_path)
-        if config.read_shard is None:
-            return reads
-        from rappas_tpu.parallel.distributed import shard_reads
-        return shard_reads(reads, *config.read_shard)
-
-    def unique_reads():
-        for order, (header, seq) in enumerate(sharded_reads()):
-            counts["total"] += 1
-            key = md5_checksum(seq)
-            prev = seen.get(key)
-            if prev is None:
-                seen[key] = []
-                yield (header, key, order), seq
-            elif isinstance(prev, list):
-                prev.append(header)
-            elif prev is _UNPLACED:
-                # the reference re-processes duplicates of unplaced reads
-                # and lists each occurrence (PlacementProcess.java:591-629
-                # only dedups *placed* reads)
-                notplaced.write(header + "\n")
-                counts["unplaced"] += 1
-            elif prev is _FILTERED:
-                pass  # nsbound-filtered reads are re-filtered silently
-            else:
-                JplaceWriter.add_duplicate(prev, header)
+    # one python loop per read total: md5 dedup + bucket buffering; the
+    # reference's strictly serial equivalent is
+    # PlacementProcess.java:568-645
+    from hashlib import md5 as _md5
 
     def handle_batch(meta, in_flight_batch):
+        """Fold one completed batch into the writer -- array work per
+        BATCH, python work only for the per-read dedup dict and the
+        rare unplaced/filtered reads."""
         res = in_flight_batch.result()
+        n = len(meta)
+        counts["unique"] += n
         pre = writer.precompute_batch(res)
+        placed = pre["n_keep"][:n] > 0
+        filtered = np.zeros(n, bool)
+        if config.ns_bound > float("-inf"):
+            filtered = placed & (res.top_scores[:n, 0] < config.ns_bound)
+            placed &= ~filtered
+        headers = [m[0] for m in meta]
+        orders = np.fromiter((m[2] for m in meta), np.int64, n)
+        reads = np.flatnonzero(placed)
+        batch = writer.add_batch(headers, pre, reads, orders[reads])
+        placed_l = placed.tolist()
+        filtered_l = filtered.tolist()
+        unplaced_lines = []
         for i, (header, key, order) in enumerate(meta):
-            counts["unique"] += 1
             dups = seen[key]
-            if res.n_matched[i] == 0:
-                notplaced.write(header + "\n")
-                counts["unplaced"] += 1
-                for dup_header in dups:
-                    notplaced.write(dup_header + "\n")
-                    counts["unplaced"] += 1
-                seen[key] = _UNPLACED
-                continue
-            placement = writer.add_placement_packed(header, pre, i, order)
-            if placement is None:
+            if placed_l[i]:
+                if dups:
+                    for dup_header in dups:
+                        JplaceWriter.add_duplicate(batch, i, dup_header)
+                seen[key] = (batch, i)
+            elif filtered_l[i]:
                 seen[key] = _FILTERED
-                continue
-            for dup_header in dups:
-                JplaceWriter.add_duplicate(placement, dup_header)
-            seen[key] = placement
-            if tsv:
-                best = int(res.top_edges[i][0])
-                score = float(np.float32(res.top_scores[i][0]))
-                q = header.split(" ")[0]
+            else:
+                unplaced_lines.append(header)
+                unplaced_lines.extend(dups)
+                seen[key] = _UNPLACED
+        if unplaced_lines:
+            counts["unplaced"] += len(unplaced_lines)
+            notplaced.write("\n".join(unplaced_lines) + "\n")
+        if tsv and reads.size:
+            best_l = res.top_edges[reads, 0].tolist()
+            score_l = res.top_scores[reads, 0].tolist()
+            lines = []
+            for i, best, score in zip(reads.tolist(), best_l, score_l):
+                q = headers[i].split(" ")[0]
                 r = resolution.get(str(best)) if resolution else None
                 if r is not None:
                     ar_id, ar_lbl, ext_id, ext_lbl, orig = r
-                    tsv.write(f"{q}\t{ar_id}\t{ar_lbl}\t{ext_id}\t"
-                              f"{ext_lbl}\t{orig}\t"
-                              f"{arr.labels[orig]}\t{score}\n")
+                    lines.append(f"{q}\t{ar_id}\t{ar_lbl}\t{ext_id}\t"
+                                 f"{ext_lbl}\t{orig}\t"
+                                 f"{arr.labels[orig]}\t{score}")
                 else:
-                    tsv.write(f"{q}\t\t\t\t\t{best}\t"
-                              f"{arr.labels[best]}\t{score}\n")
+                    lines.append(f"{q}\t\t\t\t\t{best}\t"
+                                 f"{arr.labels[best]}\t{score}")
+            tsv.write("\n".join(lines) + "\n")
 
     # keep a few batches in flight: device compute and both transfer
     # directions overlap with the host-side jplace assembly
     in_flight: list = []
-    for meta, lens, mat in batcher.batches(unique_reads()):
+
+    def submit(batch):
+        meta, lens, mat = batch
         in_flight.append((meta, engine.score_async(mat, lens)))
         if len(in_flight) > 3:
             handle_batch(*in_flight.pop(0))
+
+    shard = config.read_shard
+    gidx = 0       # index over the whole file (round-robin host shard,
+    #                rappas_tpu.parallel.distributed.shard_reads)
+    order = 0      # arrival rank within this shard (output ordering)
+    for records in read_record_blocks(query_path):
+        for header, seq in records:
+            if shard is not None:
+                mine = gidx % shard[1] == shard[0]
+                gidx += 1
+                if not mine:
+                    continue
+            counts["total"] += 1
+            # the reference md5-hashes the gap-stripped sequence
+            # (PlacementProcess.java:591-596, Fasta.java:34-39)
+            key = _md5(seq.replace(b"-", b"") if b"-" in seq
+                       else seq).digest()
+            prev = seen.get(key)
+            if prev is None:
+                seen[key] = []
+                b = batcher.add((header, key, order), seq)
+                if b is not None:
+                    submit(b)
+            elif isinstance(prev, list):
+                prev.append(header)
+            elif prev is _UNPLACED:
+                # the reference re-processes duplicates of unplaced
+                # reads and lists each occurrence
+                # (PlacementProcess.java:591-629 only dedups *placed*
+                # reads)
+                notplaced.write(header + "\n")
+                counts["unplaced"] += 1
+            elif prev is _FILTERED:
+                pass  # nsbound-filtered reads re-filter silently
+            else:
+                JplaceWriter.add_duplicate(prev[0], prev[1], header)
+            order += 1
+    for b in batcher.flush():
+        submit(b)
     for item in in_flight:
         handle_batch(*item)
 
@@ -182,5 +219,5 @@ def place_queries(db: PhyloKmerDB, query_path, workdir,
     log(f"{counts['total']} queries ({counts['unique']} unique, "
         f"{counts['unplaced']} unplaced) in {dt:.2f}s "
         f"({counts['total'] / max(dt, 1e-9):.0f} reads/s)")
-    log(f"{len(writer.placements)} placements written to {out}")
+    log(f"{writer.n_placements} placements written to {out}")
     return out

@@ -72,14 +72,92 @@ def read_sequences(path) -> Iterator[tuple[str, str]]:
     return read_fasta(path)
 
 
+def _parse_fasta_block(data: bytes) -> list[tuple[str, bytes]]:
+    """Parse a byte block of complete FASTA records (fast path: C-level
+    splits; falls back to line-wise parsing when '#' comment lines or
+    '\\r' endings are present)."""
+    if b"\r" in data or b"\n#" in data or data.startswith(b"#"):
+        out = []
+        header = None
+        chunks: list[bytes] = []
+        for line in data.split(b"\n"):
+            line = line.rstrip(b"\r")
+            if not line or line.startswith(b"#"):
+                continue
+            if line.startswith(b">"):
+                if header is not None:
+                    out.append((header, b"".join(chunks)))
+                header = line[1:].decode()
+                chunks = []
+            else:
+                chunks.append(line)
+        if header is not None:
+            out.append((header, b"".join(chunks)))
+        return out
+    out = []
+    for rec in data.split(b"\n>"):
+        if not rec or rec == b">":
+            continue
+        if rec.startswith(b">"):
+            rec = rec[1:]
+        hdr, _, rest = rec.partition(b"\n")
+        if not hdr:
+            continue
+        out.append((hdr.decode(),
+                    rest.replace(b"\n", b"") if b"\n" in rest else rest))
+    return out
+
+
+def read_record_blocks(path, block_bytes: int = 8 << 20
+                       ) -> Iterator[list[tuple[str, bytes]]]:
+    """Yield lists of (header, sequence-bytes) records.
+
+    Plain FASTA takes a block parser (~10x the per-line generator rate
+    at production read counts); FASTQ and gzipped inputs wrap the
+    streaming readers in chunks.
+    """
+    import itertools
+
+    p = str(path)
+    if p.endswith(".gz") or p[:-3 if p.endswith(".gz") else len(p)] \
+            .endswith((".fq", ".fastq")):
+        it = read_sequences(path)
+        while True:
+            chunk = list(itertools.islice(it, 16384))
+            if not chunk:
+                return
+            yield [(h, s.encode("ascii")) for h, s in chunk]
+    with open(p, "rb") as f:
+        tail = b""
+        while True:
+            chunk = f.read(block_bytes)
+            if not chunk:
+                if tail.strip():
+                    yield _parse_fasta_block(tail)
+                return
+            data = tail + chunk
+            cut = data.rfind(b"\n>")
+            if cut == -1:
+                tail = data
+                continue
+            tail = data[cut + 1:]
+            block = data[:cut + 1]
+            if block.strip():
+                yield _parse_fasta_block(block)
+
+
 def md5_checksum(seq: str) -> bytes:
     """Duplicate-read key.
 
     The reference md5-hashes the sequence with gaps removed
     (``fasta.getSequence(true)`` strips '-', ``Fasta.java:34-39``;
-    ``PlacementProcess.java:591-596``).
+    ``PlacementProcess.java:591-596``).  The replace is skipped when no
+    gap is present (the overwhelmingly common case -- it would copy the
+    string twice per read).
     """
-    return hashlib.md5(seq.replace("-", "").encode("ascii")).digest()
+    if "-" in seq:
+        seq = seq.replace("-", "")
+    return hashlib.md5(seq.encode("ascii")).digest()
 
 
 class ReadBatcher:
@@ -131,3 +209,70 @@ class ReadBatcher:
             lens[i] = len(raw)
             headers.append(h)
         return headers, lens, mat
+
+
+class BlockBatcher:
+    """Length-bucketed batcher over byte-sequence records with a
+    vectorized matrix build -- the production replacement for
+    :class:`ReadBatcher`'s per-read loop.
+
+    ``add(meta, seq)`` buffers one record and returns a completed
+    (metas, lengths, matrix) batch when its bucket fills; ``flush()``
+    drains the partial buckets.  ``meta`` is opaque to the batcher.
+    """
+
+    def __init__(self, batch_size: int = 1024,
+                 buckets: tuple[int, ...] = (64, 128, 256, 512, 1024,
+                                             4096, 16384),
+                 pad_batch: bool = True):
+        self.batch_size = batch_size
+        self.buckets = tuple(sorted(buckets))
+        self.pad_batch = pad_batch
+        self._pend: dict[int, tuple[list, list]] = {}
+        # direct length -> bucket table for the per-read hot path
+        tab = []
+        for b in self.buckets:
+            tab.extend([b] * (b + 1 - len(tab)))
+        self._bucket_tab = tab
+
+    def bucket_for(self, length: int) -> int:
+        if length < len(self._bucket_tab):
+            return self._bucket_tab[length]
+        return int(np.ceil(length / self.buckets[-1])) * self.buckets[-1]
+
+    def add(self, meta, seq: bytes):
+        tab = self._bucket_tab
+        n = len(seq)
+        b = tab[n] if n < len(tab) else self.bucket_for(n)
+        entry = self._pend.get(b)
+        if entry is None:
+            entry = self._pend[b] = ([], [])
+        metas, seqs = entry
+        metas.append(meta)
+        seqs.append(seq)
+        if len(metas) >= self.batch_size:
+            self._pend[b] = ([], [])
+            return self._emit(b, metas, seqs)
+        return None
+
+    def flush(self):
+        for b, (metas, seqs) in sorted(self._pend.items()):
+            if metas:
+                yield self._emit(b, metas, seqs)
+        self._pend.clear()
+
+    def _emit(self, bucket: int, metas: list, seqs: list[bytes]):
+        n = self.batch_size if self.pad_batch else len(metas)
+        lens = np.fromiter(map(len, seqs), np.int32, len(seqs))
+        mat = np.full((n, bucket), 0xFF, np.uint8)
+        L = int(lens[0])
+        if (lens == L).all():
+            # uniform length (the typical case): one join + reshape
+            flat = np.frombuffer(b"".join(seqs), np.uint8)
+            mat[:len(seqs), :L] = flat.reshape(len(seqs), L)
+        else:
+            for i, s in enumerate(seqs):
+                mat[i, :len(s)] = np.frombuffer(s, np.uint8)
+        out_lens = np.zeros(n, np.int32)
+        out_lens[:len(seqs)] = lens
+        return metas, out_lens, mat
