@@ -2,18 +2,29 @@
 
 Reference baseline: RAPPAS v1.00 places 1M x 150bp reads in ~30-40 min on
 one desktop CPU core => ~500 reads/s (``/root/reference/README.md:244``,
-BASELINE.md).  This bench measures reads placed per second per chip on a
-REAL end-to-end artifact at the "config 1" scale of BASELINE.json: a
-150-taxon x 1500 bp simulated 16S dataset (scripts/simulate.py, seed 42)
-built through the full production pipeline (ghost injection -> PhyML
-ancestral reconstruction -> phylo-kmer generation, k=8), with reads
-sampled from the leaves at 0.5% sequencing error.  The build is cached
-under ``/tmp/rappas_bench_db`` (~42 s cold).  Accuracy (mean expected
-node distance, the PEWO criterion) is measured on the same artifact and
-reported alongside throughput.
+BASELINE.md).
 
-Prints ONE JSON line:
-``{"metric": ..., "value": N, "unit": "reads/s", "vs_baseline": N/500}``
+The headline number is config 1 of BASELINE.json -- reads placed per
+second per chip on a REAL end-to-end artifact (150-taxon x 1500 bp
+simulated 16S built through the full PhyML pipeline, k=8, reads sampled
+from the leaves at 0.5% error), with accuracy (expected node distance,
+the PEWO criterion) measured on the same artifact.  Since round 4 the
+payload also carries one measured row per remaining BASELINE config so
+regressions in any regime are driver-visible:
+
+* ``cli_e2e_reads_per_s``  -- 1M reads through the real CLI host loop
+  (config 3's read-count scale; md5 dedup, jplace/TSV writing included)
+* ``k10_device_reads_per_s``      -- config 2 regime (k=10 DNA)
+* ``k12_postings_device_reads_per_s`` -- configs 3/5 large-tree regime
+  (k=12, ~4000 taxa, postings tables)
+* ``k12_multigb_device_reads_per_s``  -- config 3 single-host multi-GB
+  light table (N-part split)
+* ``protein_device_reads_per_s``  -- config 4 regime (amino k=8,
+  host-side int64 key lookup)
+
+All artifacts are cached under ``/tmp/rappas_bench_db`` (cold build ~4
+min, warm runs load from disk).  Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "reads/s", "vs_baseline": N/500}``.
 """
 
 from __future__ import annotations
@@ -28,14 +39,29 @@ import numpy as np
 BASELINE_READS_PER_S = 500.0  # reference, 1 CPU core (README.md:244)
 
 #: bump to invalidate cached bench artifacts after format changes
-BENCH_DB_VERSION = "r3-150taxa-1500bp-seed42-k8"
+BENCH_DB_VERSION = "r4-150taxa-1500bp-seed42"
+
+PHYML = "/root/reference/bindep/phyml_x64"
+CACHE = Path("/tmp/rappas_bench_db")
+
+
+def _script_module(name: str):
+    """Load a repo script by path (no sys.path mutation -- ADVICE r3)."""
+    import importlib.util
+    path = Path(__file__).parent / "scripts" / f"{name}.py"
+    spec = importlib.util.spec_from_file_location(f"rappas_bench_{name}",
+                                                 path)
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
 
 
 def synthetic_db(k=8, n_edges=300, mean_edges_per_kmer=5,
                  kmer_occupancy=0.6, seed=0):
     """Synthetic DB shaped like a ~150-taxon 16S build: 4^k rows, ~60%
     occupied, ~5 postings per present k-mer (ratios measured on the
-    tiny-fixture PhyML build)."""
+    tiny-fixture PhyML build).  Fallback when the PhyML binary is
+    unavailable."""
     from rappas_tpu.alphabet import DNA
     from rappas_tpu.db import PhyloKmerDB, build_csr
     from rappas_tpu.tree import parse_newick
@@ -64,58 +90,66 @@ def make_reads(n, length, seed=1):
     return mat, lens
 
 
-PHYML = "/root/reference/bindep/phyml_x64"
+def _ensure_base_artifact():
+    """Build (or load) the 150-taxon simulated-16S base artifact: ref
+    tree + alignment + PhyML AR + k=8 DB + 10k leaf-sampled reads."""
+    stamp = CACHE / "VERSION"
+    db_path = CACHE / "bench150.rptpu"
+    reads_path = CACHE / "reads.fasta"
+    if (db_path.exists() and reads_path.exists() and stamp.exists() and
+            stamp.read_text().strip() == BENCH_DB_VERSION):
+        return True
+    if not Path(PHYML).exists():
+        return False
+    simulate = _script_module("simulate")
+    from rappas_tpu.build.pipeline import BuildConfig, build_database
+
+    CACHE.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(42)
+    nwk = simulate.random_tree(150, rng)
+    (CACHE / "ref.tree").write_text(nwk + "\n")
+    seqs = simulate.evolve(nwk, 1500, rng)
+    with open(CACHE / "ref_align.fasta", "w") as f:
+        for taxon in sorted(seqs):
+            f.write(f">{taxon}\n"
+                    f"{simulate.BASES[seqs[taxon]].tobytes().decode()}\n")
+    reads = simulate.make_reads(seqs, 10000, 150, 0.005, rng)
+    with open(reads_path, "w") as f:
+        for h, r in reads:
+            f.write(f">{h}\n{simulate.BASES[r].tobytes().decode()}\n")
+    db = build_database(
+        CACHE / "ref_align.fasta", CACHE / "ref.tree",
+        CACHE / "work", BuildConfig(ar_binary=PHYML))
+    db.save(db_path)
+    stamp.write_text(BENCH_DB_VERSION + "\n")
+    return True
 
 
-def real_db(cache_dir="/tmp/rappas_bench_db"):
-    """The real benchmark artifact: a 150-taxon simulated-16S DB built
-    through the full pipeline (PhyML AR), cached on disk, plus the
-    10k leaf-sampled reads (0.5% error) and their true source node ids.
-
-    Returns ``(db, codes[N, 150] int8, srcs[N] int32)`` or ``None`` if
-    the AR binary is unavailable (caller falls back to the synthetic
-    DB and says so).
-    """
+def real_db(k: int = 8):
+    """The real benchmark artifact at word size ``k`` (k=8 is the base
+    build; other k reuse the cached PhyML AR outputs).  Returns
+    ``(db, codes[N, 150] int8, srcs[N] int32)`` for k=8, else just the
+    DB; ``None`` if the AR binary is unavailable."""
     from rappas_tpu.db import PhyloKmerDB
 
-    cache = Path(cache_dir)
-    stamp = cache / "VERSION"
-    db_path = cache / "bench150.rptpu"
-    reads_path = cache / "reads.fasta"
-    if not (db_path.exists() and reads_path.exists() and
-            stamp.exists() and
-            stamp.read_text().strip() == BENCH_DB_VERSION):
-        if not Path(PHYML).exists():
-            return None
-        import sys as _sys
-        _sys.path.insert(0, str(Path(__file__).parent / "scripts"))
-        import simulate
+    if not _ensure_base_artifact():
+        return None
+    if k != 8:
+        dbk = CACHE / f"bench150_k{k}.rptpu"
+        if not dbk.exists():
+            from rappas_tpu.build.pipeline import (BuildConfig,
+                                                   build_database)
+            db = build_database(
+                CACHE / "ref_align.fasta", CACHE / "ref.tree",
+                CACHE / f"work_k{k}",
+                BuildConfig(k=k, ar_binary=PHYML,
+                            ar_dir=str(CACHE / "work" / "AR")))
+            db.save(dbk)
+        return PhyloKmerDB.load(dbk)
 
-        from rappas_tpu.build.pipeline import BuildConfig, build_database
-
-        cache.mkdir(parents=True, exist_ok=True)
-        rng = np.random.default_rng(42)
-        nwk = simulate.random_tree(150, rng)
-        (cache / "ref.tree").write_text(nwk + "\n")
-        seqs = simulate.evolve(nwk, 1500, rng)
-        with open(cache / "ref_align.fasta", "w") as f:
-            for taxon in sorted(seqs):
-                f.write(f">{taxon}\n"
-                        f"{simulate.BASES[seqs[taxon]].tobytes().decode()}"
-                        "\n")
-        reads = simulate.make_reads(seqs, 10000, 150, 0.005, rng)
-        with open(reads_path, "w") as f:
-            for h, r in reads:
-                f.write(f">{h}\n{simulate.BASES[r].tobytes().decode()}\n")
-        db = build_database(
-            cache / "ref_align.fasta", cache / "ref.tree",
-            cache / "work", BuildConfig(ar_binary=PHYML))
-        db.save(db_path)
-        stamp.write_text(BENCH_DB_VERSION + "\n")
-
-    db = PhyloKmerDB.load(db_path)
+    db = PhyloKmerDB.load(CACHE / "bench150.rptpu")
     from rappas_tpu.seqio import read_fasta
-    recs = list(read_fasta(reads_path))
+    recs = list(read_fasta(CACHE / "reads.fasta"))
     lut = np.full(256, -1, np.int8)
     for i, b in enumerate(b"ACGT"):
         lut[b] = i
@@ -143,6 +177,247 @@ def node_distance(parent, a, b):
             return sa[n] + j
     return len(pa) + len(pb)
 
+
+# ------------------------------------------------------------------ #
+# device measurement helpers (tunneled-backend safe: completion is
+# forced by fetching one element -- block_until_ready returns early)
+# ------------------------------------------------------------------ #
+
+def _force(out):
+    import jax
+    import jax.numpy as jnp
+    leaves = jax.tree_util.tree_leaves(out)
+    np.asarray(jax.device_get(jnp.ravel(leaves[-1])[:1]))
+
+
+def _timed(fn, *args, n=20):
+    out = fn(*args)
+    _force(out)
+    t0 = time.perf_counter()
+    outs = None
+    for _ in range(n):
+        outs = fn(*args)
+    _force(outs)
+    return (time.perf_counter() - t0) / n
+
+
+def _capture_postings_step(engine, codes_np, mat, lens):
+    import rappas_tpu.place.engine as eng
+    calls = []
+    orig = eng.finalize_postings_v2
+
+    def cap(*a, **kw):
+        calls.append((a, kw))
+        return orig(*a, **kw)
+
+    eng.finalize_postings_v2 = cap
+    try:
+        engine._score_postings(codes_np, mat, lens).result()
+    finally:
+        eng.finalize_postings_v2 = orig
+    return calls[-1], orig
+
+
+def engine_device_rate(engine, mat, lens, n=20):
+    """Sustained device-step rate of any engine table mode with inputs
+    resident (the chip's own placement throughput)."""
+    import jax.numpy as jnp
+
+    from rappas_tpu.place.engine import (accumulate, compact_rows,
+                                         finalize, kmer_indices64,
+                                         kmer_rows, searchsorted_rows)
+    codes = engine.encode_batch(mat)
+    if engine.table == "postings":
+        (args, kw), orig = _capture_postings_step(engine, codes, mat,
+                                                  lens)
+
+        def step():
+            return orig(*args, **kw)
+    else:
+        rows_h = None
+        if engine.table != "direct" and engine._host_lookup:
+            kidx = engine._host_kmer_indices(codes, lens)
+            rows_h = jnp.asarray(searchsorted_rows(engine.db.keys, kidx))
+        c_dev = jnp.asarray(codes)
+        l_dev = jnp.asarray(lens)
+
+        def step():
+            if engine.table == "direct":
+                rows = kmer_rows(c_dev, engine.k,
+                                 engine.alphabet.n_states, engine.n_rows)
+            elif rows_h is not None:
+                rows = rows_h
+            else:
+                idx = kmer_indices64(c_dev, engine.k,
+                                     engine.alphabet.n_states)
+                rows = compact_rows(engine.keys_dev, idx)
+            acc = accumulate(engine.D, rows) * engine.scale
+            return finalize(acc, l_dev, engine.thr, engine.k,
+                            engine.keep_at_most)
+    dt = _timed(step, n=n)
+    return mat.shape[0] / dt
+
+
+def _dna_reads(n, L, seed=1):
+    rng = np.random.default_rng(seed)
+    letters = np.frombuffer(b"ACGT", np.uint8)
+    return letters[rng.integers(0, 4, (n, L))], np.full(n, L, np.int32)
+
+
+# ------------------------------------------------------------------ #
+# per-config sections (each guarded: one failure must not kill the
+# one-line payload)
+# ------------------------------------------------------------------ #
+
+def bench_cli_e2e(payload):
+    """1M reads through the REAL CLI host path against the cached k=8
+    DB (VERDICT r3 item 6): read parsing, md5 dedup, device scoring,
+    jplace + TSV writing -- everything a user's `-p p` run does."""
+    from rappas_tpu.place.pipeline import PlacementConfig, place_queries
+
+    art = real_db()
+    if art is None:
+        payload["cli_e2e_error"] = "PhyML unavailable"
+        return
+    db = art[0]
+    reads1m = CACHE / "reads1m.fasta"
+    if not reads1m.exists():
+        simulate = _script_module("simulate")
+        from rappas_tpu.seqio import read_fasta
+        seqs = {h: s for h, s in read_fasta(CACHE / "ref_align.fasta")}
+        rng = np.random.default_rng(7)
+        arr = {h: np.frombuffer(s.replace("-", "").encode(),
+                                np.uint8) for h, s in seqs.items()}
+        lut = np.full(256, 0, np.uint8)
+        for i, b in enumerate(b"ACGT"):
+            lut[b] = i
+        names = sorted(arr)
+        with open(reads1m, "w") as f:
+            chunk = 100_000
+            for lo in range(0, 1_000_000, chunk):
+                picks = rng.integers(0, len(names), chunk)
+                lines = []
+                for j, p in enumerate(picks):
+                    s = arr[names[p]]
+                    start = rng.integers(0, max(1, s.shape[0] - 150))
+                    sub = lut[s[start:start + 150]]
+                    err = rng.random(sub.shape[0]) < 0.005
+                    sub = np.where(
+                        err, (sub + rng.integers(1, 4, sub.shape[0])) % 4,
+                        sub)
+                    lines.append(
+                        f">q{lo + j}\n"
+                        f"{simulate.BASES[sub].tobytes().decode()}")
+                f.write("\n".join(lines) + "\n")
+    wd = CACHE / "cli_wd"
+    wd.mkdir(exist_ok=True)
+    cfg = PlacementConfig(batch_size=16384)
+    t0 = time.time()
+    place_queries(db, reads1m, wd, cfg)
+    dt = time.time() - t0
+    payload["cli_e2e_reads_per_s"] = round(1_000_000 / dt)
+    payload["cli_e2e_note"] = ("1M x 150bp reads, full CLI host loop "
+                               "(parse+dedup+score+jplace+TSV) on the "
+                               "2-core dev host")
+
+
+def bench_k10(payload):
+    """Config 2 regime: k=10 DNA on the real artifact (AR reused)."""
+    from rappas_tpu.place.engine import PlacementEngine
+
+    db = real_db(k=10)
+    if db is None:
+        db = synthetic_db(k=10, kmer_occupancy=0.05)
+    eng = PlacementEngine(db, table="auto")
+    mat, lens = _dna_reads(16384, 150, seed=3)
+    rate = engine_device_rate(eng, mat, lens)
+    payload["k10_device_reads_per_s"] = round(rate)
+    payload["k10_table"] = (f"{eng.table}, {db.n_kmers} kmers, "
+                            f"{db.nnz} postings")
+
+
+def bench_k12_postings(payload):
+    """Configs 3/5 large-tree regime: k=12, ~4000 taxa (E~8000)."""
+    from rappas_tpu.db import PhyloKmerDB
+    from rappas_tpu.place.engine import PlacementEngine
+
+    cached = CACHE / "large4000_k12.rptpu"
+    if cached.exists():
+        db = PhyloKmerDB.load(cached)
+    else:
+        db = _script_module("scale_check").build_large_db()
+        CACHE.mkdir(parents=True, exist_ok=True)
+        db.save(cached)
+    eng = PlacementEngine(db, table="postings")
+    mat, lens = _dna_reads(16384, 150, seed=4)
+    rate = engine_device_rate(eng, mat, lens)
+    payload["k12_postings_device_reads_per_s"] = round(rate)
+    payload["k12_postings_db"] = (f"{db.n_kmers} kmers, {db.nnz} "
+                                  f"postings, E={db.n_edge_slots}")
+
+
+def bench_k12_multigb(payload):
+    """Config 3: multi-GB k=12 light table on one chip (N-part split)."""
+    from rappas_tpu.db import PhyloKmerDB
+    from rappas_tpu.place.engine import PlacementEngine
+
+    cached = Path("/tmp/rappas_scale_db/DB_k12.rptpu")
+    if not cached.exists():
+        # ~3 min host build (72M postings); skip in cold driver runs
+        # where the wall budget is tight -- scripts/round4_probe.py D
+        # builds and caches it
+        payload["k12_multigb_note"] = "DB not cached; run " \
+            "scripts/round4_probe.py D first"
+        return
+    db = PhyloKmerDB.load(cached)
+    eng = PlacementEngine(db, table="auto")
+    parts = [p.shape[0] for p in eng.light_parts]
+    dev_b = (sum(p.nbytes for p in eng.light_parts) + eng.D.nbytes +
+             (eng._rof_np.nbytes if eng._rof_np is not None else 0))
+    mat, lens = _dna_reads(16384, 150, seed=5)
+    rate = engine_device_rate(eng, mat, lens)
+    payload["k12_multigb_device_reads_per_s"] = round(rate)
+    payload["k12_multigb_db"] = (f"{db.nnz} postings, "
+                                 f"{len(parts)}-part light table, "
+                                 f"{dev_b / 1e9:.2f} GB device")
+
+
+def bench_protein(payload):
+    """Config 4 regime: amino k=8 (20^8 key space, host int64 lookup)."""
+    from rappas_tpu.place.engine import PlacementEngine
+
+    from rappas_tpu.alphabet import AA
+    from rappas_tpu.db import PhyloKmerDB, build_csr
+    from rappas_tpu.tree import parse_newick
+
+    rng = np.random.default_rng(11)
+    n_edges, n_keys, mean_post = 150, 500_000, 4
+    labels = ",".join(f"L{i}:0.1" for i in range(n_edges - 1))
+    tree = parse_newick(f"({labels})root;")
+    tree.reset_jplace_edge_ids()
+    thr = PhyloKmerDB.threshold(8, 1.5, 20)
+    keys = np.unique(rng.integers(0, 20 ** 8, int(n_keys * 1.2),
+                                  np.int64))[:n_keys]
+    codes = np.repeat(keys, mean_post)
+    edges = rng.integers(1, n_edges, codes.shape[0]).astype(np.int32)
+    scores = (thr + 0.01 + rng.random(codes.shape[0]) * 2.5
+              ).astype(np.float32)
+    keys, offsets, e, deltas = build_csr(codes, edges, scores, thr)
+    db = PhyloKmerDB(k=8, omega=1.5, alphabet=AA, thr_log10=thr,
+                     tree=tree, keys=keys, offsets=offsets, edges=e,
+                     deltas=deltas)
+    eng = PlacementEngine(db, table="auto")
+    rngr = np.random.default_rng(12)
+    letters = np.frombuffer(b"ARNDCQEGHILKMFPSTWYV", np.uint8)
+    mat = letters[rngr.integers(0, 20, (16384, 100))]
+    lens = np.full(16384, 100, np.int32)
+    rate = engine_device_rate(eng, mat, lens)
+    payload["protein_device_reads_per_s"] = round(rate)
+    payload["protein_table"] = (f"{eng.table}, {db.n_kmers} kmers, "
+                                "100aa reads")
+
+
+# ------------------------------------------------------------------ #
 
 def main():
     import jax
@@ -306,13 +581,18 @@ def main():
             abs(float(ts[i, 0]) - float(rows_o[0][1])) < 1e-4
         assert abs(float(ts[i, 0]) - float(rows_o[0][1])) < 2e-4
         # second-best reconstructed within the quantisation step -- but
-        # only when inside the wire format's representable range: gaps
-        # saturate at 8.0 log10 units (such rows never survive any
-        # keep-factor >= 1e-8 into jplace, see DELTA_SCALE note above)
-        if n_o > 1 and float(rows_o[0][1]) - float(rows_o[1][1]) < 7.9:
-            assert abs(float(ts[i, 1]) - float(rows_o[1][1])) < 1.5e-3
-        elif n_o > 1:
-            assert int(gap[i, 0]) == 65535  # saturated as designed
+        # only when safely inside the wire format's representable range:
+        # gaps saturate at 8.0 log10 units (such rows never survive any
+        # keep-factor >= 1e-8 into jplace, see DELTA_SCALE note above).
+        # Gaps within 0.1 of the saturation point are skipped entirely
+        # (ADVICE r3: asserting either branch there is race-y against
+        # f32 rounding).
+        if n_o > 1:
+            gap_o = float(rows_o[0][1]) - float(rows_o[1][1])
+            if gap_o < 7.9:
+                assert abs(float(ts[i, 1]) - float(rows_o[1][1])) < 1.5e-3
+            elif gap_o >= 8.1:
+                assert int(gap[i, 0]) == 65535  # saturated as designed
 
     payload = {
         "metric": "reads_placed_per_sec_per_chip "
@@ -332,20 +612,39 @@ def main():
     }
 
     if srcs is not None:
-        # PEWO-style accuracy from the SAME timed outputs: expected
-        # node distance between the best edge and the true source leaf
-        # edge, over the 10k leaf-sampled reads (entries 0..9999 of the
-        # drained chunk are exactly reads 0..9999)
+        # PEWO-style accuracy from the SAME timed outputs: node distance
+        # between the single best edge and the true source leaf edge,
+        # over the 10k leaf-sampled reads (entries 0..9999 of the
+        # drained chunk are exactly reads 0..9999).  NOTE: this is the
+        # unweighted best-edge distance, not PEWO's LWR-weighted
+        # expected node distance (ADVICE r3) -- see eND_note.
         n = srcs.shape[0]
         parent = db.arrays.parent
         placed = nm[:n] > 0
-        dists = np.array([
-            node_distance(parent, int(te[i, 0]), int(srcs[i]))
-            for i in range(n) if placed[i]])
-        payload["mean_eND"] = round(float(dists.mean()), 4)
-        payload["pct_within_2_edges"] = round(
-            float((dists <= 2).mean() * 100), 2)
+        if placed.any():
+            dists = np.array([
+                node_distance(parent, int(te[i, 0]), int(srcs[i]))
+                for i in range(n) if placed[i]])
+            payload["mean_eND"] = round(float(dists.mean()), 4)
+            payload["pct_within_2_edges"] = round(
+                float((dists <= 2).mean() * 100), 2)
+        else:
+            payload["mean_eND"] = None
+            payload["pct_within_2_edges"] = None
         payload["pct_placed"] = round(float(placed.mean() * 100), 2)
+        payload["eND_note"] = ("node distance of the best edge "
+                               "(unweighted, not LWR-weighted)")
+
+    # ---- the remaining BASELINE configs (driver-visible rows) ------ #
+    for name, fn in (("cli_e2e", bench_cli_e2e),
+                     ("k10", bench_k10),
+                     ("k12_postings", bench_k12_postings),
+                     ("k12_multigb", bench_k12_multigb),
+                     ("protein", bench_protein)):
+        try:
+            fn(payload)
+        except Exception as exc:  # pragma: no cover - defensive
+            payload[f"{name}_error"] = repr(exc)[:200]
 
     print(json.dumps(payload))
     return 0
