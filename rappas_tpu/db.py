@@ -53,6 +53,12 @@ FORMAT_VERSION = 1
 #: (flush-to-zero-safe on TPU) -- see module docstring
 DELTA_TINY = np.float32(1e-30)
 
+#: sentinel edge id of light-table pad slots: sorts past every real
+#: edge, so pads land at the tail of each edge-sorted posting run and
+#: segment presence is just ``edge != LIGHT_PAD_EDGE``
+#: (:meth:`PhyloKmerDB.postings_tables`)
+LIGHT_PAD_EDGE = np.int32(np.iinfo(np.int32).max)
+
 
 @dataclasses.dataclass
 class PhyloKmerDB:
@@ -258,12 +264,16 @@ class PhyloKmerDB:
         costing 8 bytes per posting slot; the few k-mers with longer
         lists ("heavy", conserved k-mers hitting many edges) go to a
         small dense matrix ``[n_heavy + 1, E]``.  Both tables carry a
-        trailing all-zero miss row.  Pad slots in the light tables are
-        (edge 0, delta 0.0): a zero delta contributes nothing to any
-        segment sum and never marks an edge as matched, so pads are
-        harmless regardless of whether node id 0 exists (the root is
-        never a posting edge -- postings store *son* node ids,
-        ``WordExplorer_v3.java:88-89``).
+        trailing miss row.  Pad slots in the light tables (unused posting
+        slots and the miss row) are ``(LIGHT_PAD_EDGE, 0.0)``: the int32
+        sentinel edge sorts pads to the TAIL of each read's edge-sorted
+        posting run, so (a) segment presence is just
+        ``edge != LIGHT_PAD_EDGE`` -- no separate exactness pass -- and
+        (b) the sorted run can be sliced to the batch's real posting
+        count before the scan machinery (round 4; pads previously
+        carried edge 0 and needed a count-cumsum to tell a real edge-0
+        segment from pure padding).  The zero delta still contributes
+        nothing to any sum.
         """
         lens = np.diff(self.offsets)
         light = lens <= width
@@ -283,7 +293,7 @@ class PhyloKmerDB:
             return row, col, src
 
         light_keys = self.keys[light]
-        light_edges = np.zeros((nl + 1, width), np.int32)
+        light_edges = np.full((nl + 1, width), LIGHT_PAD_EDGE, np.int32)
         light_deltas = np.zeros((nl + 1, width), np.float32)
         row, col, src = flat_gather(np.flatnonzero(light))
         light_edges[row, col] = self.edges[src]

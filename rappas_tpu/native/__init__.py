@@ -181,3 +181,83 @@ def explore_node_exact_native(states_sorted: np.ndarray,
     finally:
         lib.we_free(handle)
     return codes.astype(np.int64), sums.astype(np.float32)
+
+
+# ------------------------------------------------------------------ #
+# read-ingest wrapper (FASTA block parse + md5 dedup keys + matrix fill)
+# ------------------------------------------------------------------ #
+
+def _ig_lib() -> ctypes.CDLL:
+    lib = load("ingest")
+    if not getattr(lib, "_ig_configured", False):
+        c = ctypes
+        lib.ig_count.restype = c.c_longlong
+        lib.ig_count.argtypes = [c.c_char_p, c.c_longlong]
+        lib.ig_parse.restype = c.c_longlong
+        lib.ig_parse.argtypes = [c.c_char_p, c.c_longlong, c.c_void_p,
+                                 c.c_void_p, c.c_void_p, c.c_void_p,
+                                 c.c_longlong]
+        lib.ig_md5.argtypes = [c.c_void_p, c.c_void_p, c.c_longlong,
+                               c.c_void_p]
+        lib.ig_fill.argtypes = [c.c_void_p, c.c_void_p, c.c_void_p,
+                                c.c_longlong, c.c_longlong, c.c_void_p]
+        lib._ig_configured = True
+    return lib
+
+
+class ParsedBlock:
+    """One FASTA block parsed natively: compacted header/sequence byte
+    buffers with int64 offsets and the per-record 16-byte md5 dedup keys
+    ('-' stripped, ``Fasta.java:34-39`` semantics).  Headers materialize
+    lazily (only reads that reach an output path need a python str)."""
+
+    __slots__ = ("n", "hdr_buf", "hdr_off", "seq_buf", "seq_off",
+                 "lens", "md5s")
+
+    def __init__(self, n, hdr_buf, hdr_off, seq_buf, seq_off, md5s):
+        self.n = n
+        self.hdr_buf = hdr_buf
+        self.hdr_off = hdr_off
+        self.seq_buf = seq_buf
+        self.seq_off = seq_off
+        self.lens = np.diff(seq_off).astype(np.int64)
+        self.md5s = md5s
+
+    def header(self, i: int) -> str:
+        return self.hdr_buf[self.hdr_off[i]:self.hdr_off[i + 1]] \
+            .tobytes().decode("utf-8", "replace")
+
+    def sequence(self, i: int) -> bytes:
+        return self.seq_buf[self.seq_off[i]:self.seq_off[i + 1]] \
+            .tobytes()
+
+    def fill_matrix(self, idx: np.ndarray, L: int) -> np.ndarray:
+        """Padded uint8 matrix of the selected records (pad 0xFF)."""
+        lib = _ig_lib()
+        idx = np.ascontiguousarray(idx, np.int64)
+        mat = np.empty((idx.shape[0], L), np.uint8)
+        lib.ig_fill(self.seq_buf.ctypes.data, self.seq_off.ctypes.data,
+                    idx.ctypes.data, idx.shape[0], L, mat.ctypes.data)
+        return mat
+
+
+def parse_fasta_block(data: bytes) -> ParsedBlock:
+    """Parse one byte block of complete FASTA records and compute the
+    md5 dedup keys, all in native code.  Raises
+    :class:`NativeUnavailable` when the toolchain is missing."""
+    lib = _ig_lib()
+    n = len(data)
+    nrec = lib.ig_count(data, n)
+    hdr_buf = np.empty(n, np.uint8)
+    seq_buf = np.empty(n, np.uint8)
+    hdr_off = np.empty(nrec + 1, np.int64)
+    seq_off = np.empty(nrec + 1, np.int64)
+    got = lib.ig_parse(data, n, hdr_buf.ctypes.data, hdr_off.ctypes.data,
+                       seq_buf.ctypes.data, seq_off.ctypes.data, nrec)
+    if got < 0:
+        raise ValueError("FASTA block overflow (malformed input)")
+    md5s = np.empty((got, 16), np.uint8)
+    lib.ig_md5(seq_buf.ctypes.data, seq_off.ctypes.data, got,
+               md5s.ctypes.data)
+    return ParsedBlock(int(got), hdr_buf, hdr_off, seq_buf,
+                       seq_off[:got + 1], md5s)

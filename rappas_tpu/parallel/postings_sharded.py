@@ -39,7 +39,8 @@ try:
 except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
-from rappas_tpu.db import DELTA_TINY, PhyloKmerDB, build_csr
+from rappas_tpu.db import (DELTA_TINY, LIGHT_PAD_EDGE, PhyloKmerDB,
+                           build_csr)
 from rappas_tpu.place.engine import (BatchResult, finalize_postings_local,
                                      gather_rows, host_kmer_indices,
                                      kmer_rows, searchsorted_rows as
@@ -90,6 +91,9 @@ def shard_db_by_edge(db: PhyloKmerDB, mp: int, width: int = 8):
     Ptw = 2 * width
 
     light_pairs = np.zeros((mp, max_nl + 1, Ptw), np.int32)
+    # edge halves default to the pad sentinel (sorts past every real
+    # edge; presence = edge != sentinel, rappas_tpu.db.LIGHT_PAD_EDGE)
+    light_pairs[:, :, :width] = LIGHT_PAD_EDGE
     rof = np.zeros((mp, space + 1), np.int32)
     nl_arr = np.zeros(mp, np.int32)
     heavy_dense = np.zeros((mp, max_nh + 1, W), np.float32)
@@ -101,8 +105,9 @@ def shard_db_by_edge(db: PhyloKmerDB, mp: int, width: int = 8):
         nl_arr[i] = nl
         pairs = np.concatenate(
             [pt.light_edges, pt.light_deltas.view(np.int32)], axis=1)
-        # rows beyond nl stay zero; row nl is the all-zero miss row and
-        # pad rows past it are never addressed (lrows = min(rof, nl))
+        # rows beyond nl keep sentinel edges / zero deltas; row nl is
+        # the miss row and pad rows past it are never addressed
+        # (lrows = min(rof, nl))
         light_pairs[i, :nl] = pairs[:nl]
         r = np.full(space + 1, nl, np.int32)
         r[pt.light_keys] = np.arange(nl, dtype=np.int32)

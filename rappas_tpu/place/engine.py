@@ -51,7 +51,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rappas_tpu.db import PhyloKmerDB
+from rappas_tpu.db import LIGHT_PAD_EDGE, PhyloKmerDB
 
 PAD_CODE = -2     # beyond read end
 AMBIG_CODE = -1   # IUPAC ambiguity position
@@ -256,6 +256,79 @@ def searchsorted_rows(keys: np.ndarray, kidx: np.ndarray) -> np.ndarray:
     return np.where(hit, pos, n).astype(np.int32)
 
 
+class HostKeyIndex:
+    """Bucketed sorted-key lookup -- the host-side replacement for plain
+    ``np.searchsorted`` on BIG key sets (round-4 fix for the 28k reads/s
+    protein host ceiling: a 16384-read batch needs ~1.5M lookups in 2M
+    sorted int64 keys; 21-probe binary search costs ~590 ms/batch,
+    measured scripts/round4_probe.py C).
+
+    A one-time index maps the top key bits to the covering range of the
+    sorted key array (``lo[b] .. lo[b+1]``); per batch each query then
+    linear-scans its bucket (avg < 1 key with ``2^22`` buckets) with
+    vectorized gathers over the still-unresolved subset.  Queries landing
+    in rare oversized buckets (> ``scan_cap`` entries) fall back to one
+    classic searchsorted over just that subset, so worst-case cost is
+    never worse than the plain form.  Typical cost: 2-3 shrinking
+    gather+compare passes, ~25 ms/batch (~20x).
+
+    Semantics identical to :func:`searchsorted_rows` (miss -> ``n``,
+    including the ``-1`` padding sentinel of ambiguous windows).
+    """
+
+    def __init__(self, keys: np.ndarray, n_buckets_log2: int = 22,
+                 scan_cap: int = 16):
+        self.keys = keys
+        self.n = int(keys.shape[0])
+        self.scan_cap = scan_cap
+        kmax = int(keys[-1]) if self.n else 0
+        self.shift = max(0, kmax.bit_length() - n_buckets_log2)
+        nb = (kmax >> self.shift) + 2 if self.n else 2
+        edges = (np.arange(nb, dtype=np.int64) << self.shift)
+        self.lo = np.searchsorted(keys, edges).astype(np.int64)
+
+    def __call__(self, kidx: np.ndarray) -> np.ndarray:
+        n = self.n
+        flat = kidx.ravel()
+        out = np.full(flat.shape, n, np.int32)
+        if n == 0:
+            return out.reshape(kidx.shape)
+        qi = np.flatnonzero((flat >= 0) & (flat <= int(self.keys[-1])))
+        q = flat[qi]
+        b = (q.astype(np.int64) >> self.shift)
+        lo = self.lo[b]
+        hi = self.lo[b + 1]
+        for _ in range(self.scan_cap):
+            active = lo < hi
+            if not active.any():
+                break
+            qi, q, lo, hi = qi[active], q[active], lo[active], hi[active]
+            kv = self.keys[lo]
+            is_hit = kv == q
+            out[qi[is_hit]] = lo[is_hit]
+            keep = ~(is_hit | (kv > q))   # sorted: kv > q => q absent
+            qi, q, lo, hi = qi[keep], q[keep], lo[keep] + 1, hi[keep]
+        else:
+            if qi.size:   # oversized buckets: classic search, subset only
+                pos = np.searchsorted(self.keys, q)
+                is_hit = (pos < n) & (self.keys[np.clip(pos, 0, n - 1)]
+                                      == q)
+                out[qi[is_hit]] = pos[is_hit]
+        return out.reshape(kidx.shape)
+
+
+#: keys below this size keep plain searchsorted (index build not worth it)
+_KEY_INDEX_MIN = 1 << 16
+
+
+def make_key_lookup(keys: np.ndarray):
+    """Callable ``kidx -> rows`` with :func:`searchsorted_rows` semantics,
+    bucket-indexed when the key set is big enough to pay for it."""
+    if keys.shape[0] >= _KEY_INDEX_MIN:
+        return HostKeyIndex(keys)
+    return functools.partial(searchsorted_rows, keys)
+
+
 def pack_reads(codes: np.ndarray) -> np.ndarray:
     """Host-side 2-bit packing of int8 state codes (no ambiguities);
     negative codes pack as 0 (their windows are masked by length)."""
@@ -335,22 +408,25 @@ def _fast_unique_inverse(flat: np.ndarray):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "keep_at_most", "lowrank"))
+                   static_argnames=("k", "keep_at_most", "lowrank",
+                                    "sort_keep"))
 def finalize_postings_v2(light_parts: tuple, lrows: jax.Array,
                          uniq_rows, dense_rows: jax.Array,
                          dense_reads: jax.Array, dense_slots: jax.Array,
                          slot_read: jax.Array, lengths: jax.Array,
                          thr: jax.Array, k: int, keep_at_most: int,
-                         lowrank: bool = True):
-    """Single-chip postings scoring with all round-3 optimisations:
+                         lowrank: bool = True,
+                         sort_keep: int | None = None):
+    """Single-chip postings scoring with all round-3/4 optimisations:
     height-split light table, optional batch-unique two-stage gather,
-    compact dense side (see :func:`finalize_postings_local`)."""
+    compact dense side, post-sort slice to the batch's real posting
+    count (see :func:`finalize_postings_local`)."""
     return finalize_postings_local(
         None, lrows, dense_rows, dense_reads, lengths, thr,
         jnp.int32(0), k, keep_at_most, lowrank,
         light_parts=light_parts, uniq_rows=uniq_rows,
         dense_slots=dense_slots if lowrank else None,
-        slot_read=slot_read if lowrank else None)
+        slot_read=slot_read if lowrank else None, sort_keep=sort_keep)
 
 
 def light_gather(parts: tuple, lrows: jax.Array) -> jax.Array:
@@ -392,7 +468,8 @@ def finalize_postings_local(light_pairs: jax.Array, lrows: jax.Array,
                             light_parts: tuple | None = None,
                             uniq_rows: jax.Array | None = None,
                             dense_slots: jax.Array | None = None,
-                            slot_read: jax.Array | None = None):
+                            slot_read: jax.Array | None = None,
+                            sort_keep: int | None = None):
     """Postings-mode scoring: sort-based segment sums over the gathered
     light postings, combined exactly with the batch's dense row sources
     (heavy k-mer hit rows + ambiguity window contributions), then top-k
@@ -494,6 +571,21 @@ def finalize_postings_local(light_pairs: jax.Array, lrows: jax.Array,
     d = jax.lax.bitcast_convert_type(
         g[:, :, P:], jnp.float32).reshape(B, Q * P)
     e_s, d_s = jax.lax.sort((e, d), num_keys=1)
+    # Pad slots carry the LIGHT_PAD_EDGE sentinel, so the sort moves
+    # every pad to the tail of its row (round 4).  Two consequences:
+    # (a) ``sort_keep`` -- the host's bound on real postings per read
+    # in this batch -- lets every scan below run on a narrow slice
+    # (slicing after the sort is free; the dropped tail is all pads,
+    # and a pad's 0.0 delta never changes a cumsum value bitwise);
+    # (b) candidate membership is simply ``edge != sentinel``: a
+    # segment with a real edge id consists entirely of real postings,
+    # so no separate exactness pass is needed.  (Pre-round-4 pads had
+    # edge 0 and membership needed a count-cumsum: a tiny delta can
+    # vanish from the f32 running cumsum, and 0/1 counts are exact.)
+    e_s_full = e_s
+    if sort_keep is not None and sort_keep < e_s.shape[1]:
+        e_s = e_s[:, :sort_keep]
+        d_s = d_s[:, :sort_keep]
     cs = jnp.cumsum(d_s, axis=1)
     nxt = jnp.concatenate(
         [e_s[:, 1:], jnp.full((B, 1), -1, e_s.dtype)], axis=1)
@@ -505,18 +597,7 @@ def finalize_postings_local(light_pairs: jax.Array, lrows: jax.Array,
     start_cs = jax.lax.cummax(
         jnp.where(is_start, prev_cs, -jnp.inf), axis=1)
     seg = cs - start_cs                      # light per-edge sum at ends
-    # candidate membership must be exact: a tiny delta can vanish from
-    # the f32 running cumsum (seg == 0 despite a real posting), so test
-    # presence via a *count* cumsum -- 0/1 sums are exact in f32 up to
-    # 2^24.  Only pad slots carry delta == 0, so count > 0 <=> the
-    # segment holds at least one real posting, matching the dense
-    # modes' acc > 0 semantics exactly.
-    cnt = jnp.cumsum((d_s > 0).astype(jnp.float32), axis=1)
-    prev_cnt = jnp.concatenate(
-        [jnp.zeros((B, 1), cnt.dtype), cnt[:, :-1]], axis=1)
-    start_cnt = jax.lax.cummax(
-        jnp.where(is_start, prev_cnt, -jnp.inf), axis=1)
-    light_valid = is_end & (cnt - start_cnt > 0)
+    light_valid = is_end & (e_s != LIGHT_PAD_EDGE)
 
     # shard-local dense column per (global) light edge; a shard only
     # stores postings of its own edge range, so real light edges always
@@ -524,11 +605,17 @@ def finalize_postings_local(light_pairs: jax.Array, lrows: jax.Array,
     e_loc = jnp.clip(e_s - edge_offset, 0, E - 1)
     if lowrank:
         # dense values at the light edges, per dense source:
-        # vals[i, j] = dense_rows[i, e_loc[read_i, j]]
-        e_sel = e_loc[dense_reads]                       # [n_pad, J]
+        # vals[i, j] = dense_rows[i, e_loc[read_i, j]].  The scatter
+        # keeps the UNSLICED width: scatter-adds into a [B, 128]-lane
+        # target crash this TPU toolchain's fusion emitter
+        # (fusion_emitter.cc:4796 sorted-scatter sublane-gather check;
+        # [B, 256] compiles fine), and the op touches only the n_pad
+        # dense-source rows, so full width costs nothing measurable.
+        e_loc_f = jnp.clip(e_s_full - edge_offset, 0, E - 1)
+        e_sel = e_loc_f[dense_reads]                     # [n_pad, J]
         vals = jnp.take_along_axis(dense_rows, e_sel, axis=1)
-        dense_at = jnp.zeros(e_s.shape, jnp.float32).at[
-            dense_reads].add(vals)
+        dense_at = jnp.zeros(e_s_full.shape, jnp.float32).at[
+            dense_reads].add(vals)[:, :e_s.shape[1]]
     else:
         dense_at = jnp.take_along_axis(dense_acc, e_loc, axis=1)
     light_total = seg + dense_at
@@ -596,14 +683,15 @@ def alt_delta_rows_postings(light_parts: tuple,
                             alt_hrows: jax.Array) -> jax.Array:
     """[n_alt, E] f32 delta rows for ambiguity alternatives in postings
     mode: the heavy dense row plus the scattered light postings (misses
-    hit the all-zero trailing rows; light pad slots add 0 to edge 0)."""
+    hit the heavy table's all-zero trailing row; light pad slots carry
+    the LIGHT_PAD_EDGE sentinel and are dropped by the scatter)."""
     dense = heavy_dense[alt_hrows]                    # [n_alt, E]
     g = light_gather(light_parts, alt_lrows)          # [n_alt, 2P]
     P = g.shape[1] // 2
     e = g[:, :P]
     d = jax.lax.bitcast_convert_type(g[:, P:], jnp.float32)
     n_alt = e.shape[0]
-    return dense.at[jnp.arange(n_alt)[:, None], e].add(d)
+    return dense.at[jnp.arange(n_alt)[:, None], e].add(d, mode="drop")
 
 
 @jax.jit
@@ -742,6 +830,10 @@ class PlacementEngine:
             # too-big tables are height-split in two (light_gather).
             pairs = np.concatenate(
                 [pt.light_edges, pt.light_deltas.view(np.int32)], axis=1)
+            #: real postings per light row (pads excluded) -- bounds the
+            #: post-sort slice width per batch (sort_keep, round 4)
+            self._light_counts = (pt.light_deltas > 0).sum(1).astype(
+                np.int32)
             self._light_slow = pairs.nbytes > self.LIGHT_SPLIT_BYTES
             n_parts = -(-pairs.nbytes // max(self.LIGHT_SPLIT_BYTES, 1))
             if self._light_slow and n_parts <= self.MAX_LIGHT_PARTS and \
@@ -806,19 +898,37 @@ class PlacementEngine:
                       direct_byte_limit: int) -> str:
         """'auto' -> the concrete device layout for this DB size (the
         TPU analog of the reference's direct-vs-hashed capacity choice,
-        ``CustomHash_v4_FastUtil81.java:49-63``)."""
+        ``CustomHash_v4_FastUtil81.java:49-63``).
+
+        Round-4 rule, from measurement (scripts/round4_probe.py, real
+        v5e): the dense row-gather runs at its ~5-7 ns/row fast rate
+        only while the table is VMEM-stageable; past that the postings
+        layout won EVERY probed regime -- k=10 DNA 586k vs 443k (direct,
+        1.26 GB) vs 44k (compact) reads/s; protein k=8 1.78M vs 384k
+        (compact); multi-GB k=12 only fits as postings.  So: direct for
+        small dense tables, postings otherwise.  The compact layout
+        remains reachable explicitly and for u16 precision (postings is
+        f32-only: the sort payload carries exact deltas).
+        """
         if table != "auto":
             return table
         itemsize = 2 if precision == "u16" else 4
         dense_bytes = (db.alphabet.n_states ** db.k *
                        db.n_edge_slots * itemsize)
         compact_bytes = (db.n_kmers + 1) * db.n_edge_slots * itemsize
-        if dense_bytes <= max(direct_byte_limit, 2 * compact_bytes):
+        fast_bytes = 2 * cls.LIGHT_SPLIT_BYTES     # VMEM-stageable zone
+        if dense_bytes <= min(fast_bytes, direct_byte_limit):
             return "direct"
-        if compact_bytes <= direct_byte_limit:
-            return "compact"
-        # large-tree regime: even one row per present k-mer is too
-        # wide; switch to the light/heavy postings layout
+        if precision == "u16":
+            # postings mode is f32-only; keep the pre-round-4 capacity
+            # rule for the quantized tables
+            if dense_bytes <= max(direct_byte_limit, 2 * compact_bytes):
+                return "direct"
+            if compact_bytes <= direct_byte_limit:
+                return "compact"
+            raise ValueError(
+                "DB too large for u16 dense/compact tables; use "
+                "precision='f32' (postings layout)")
         return "postings"
 
     def _init_host_codec(self) -> None:
@@ -913,7 +1023,7 @@ class PlacementEngine:
         elif self._host_lookup:
             # int64 index space: host numpy lookup, int32 rows to device
             kidx = self._host_kmer_indices(codes, lengths)
-            rows = self._put_batch(searchsorted_rows(self.db.keys, kidx))
+            rows = self._put_batch(self._db_lookup(kidx))
         else:
             idx = kmer_indices64(self._put_batch(codes), self.k,
                                  self.alphabet.n_states)
@@ -1017,13 +1127,28 @@ class PlacementEngine:
                 break
         if W < Q:
             # stable left-pack of hit windows; dropped slots are misses
-            # (edge 0 / delta 0 pads) whose sorted position adds exact
-            # zeros, so scores are bit-identical to the uncompacted form
+            # (sentinel-edge / delta-0 pads) whose sorted position adds
+            # exact zeros, so scores are bit-identical to the
+            # uncompacted form
             pos = np.cumsum(hit, axis=1) - 1
             bb, qq = np.nonzero(hit)
             packed = np.full((B, W), nl, np.int32)
             packed[bb, pos[bb, qq]] = lrows[bb, qq]
             lrows = packed
+
+        # post-sort slice width: the max REAL postings any read in this
+        # batch carries (pads sort to the tail past this bound); halves
+        # the cumsum/cummax/top-k widths at typical ~50% light-row fill
+        p_read = np.where(hit, self._light_counts[
+            np.minimum(rof, nl)], 0).sum(axis=1)
+        p_max = int(p_read.max()) if p_read.size else 0
+        sort_keep = None
+        full_w = W * self.light_parts[0].shape[1] // 2
+        for cand in (8, 16, 32, 64, 96, 128, 192, 256, 384, 512, 768,
+                     1024):
+            if cand >= p_max and cand <= full_w - 64:
+                sort_keep = cand
+                break
 
         uniq_dev = None
         if self._light_slow or len(self.light_parts) > 1:
@@ -1080,7 +1205,7 @@ class PlacementEngine:
             self.light_parts, self._put_batch(lrows), uniq_dev,
             dense_rows, dense_reads, dense_slots,
             self._put_repl(slot_read), lens_dev, self.thr,
-            self.k, self.keep_at_most, lowrank)
+            self.k, self.keep_at_most, lowrank, sort_keep=sort_keep)
         for o in out:
             o.copy_to_host_async()
         return PendingBatch(out)
@@ -1091,8 +1216,8 @@ class PlacementEngine:
         if self._rof_np is not None:
             space = self.alphabet.n_states ** self.k
             return self._rof_np[np.where(kidx >= 0, kidx, space)]
-        lp = searchsorted_rows(self._light_keys_np, kidx)  # miss -> nl
-        hp = searchsorted_rows(self._heavy_keys_np, kidx)
+        lp = self._light_lookup(kidx)                       # miss -> nl
+        hp = self._heavy_lookup(kidx)
         nh = self._heavy_keys_np.shape[0]
         return np.where(hp < nh, self._nl + 1 + hp, lp)
 
@@ -1251,9 +1376,9 @@ class PlacementEngine:
             hit = rof > self._nl
             hrows_all = rof - (self._nl + 1)
         else:
-            pos = np.searchsorted(hk, kidx)
+            pos = self._heavy_lookup(kidx)       # miss -> nh
             hrows_all = np.minimum(pos, nh - 1)
-            hit = (kidx >= 0) & (pos < nh) & (hk[hrows_all] == kidx)
+            hit = pos < nh
         b_ids, q_ids = np.nonzero(hit)
         n = b_ids.shape[0]
         if n == 0:
@@ -1268,17 +1393,36 @@ class PlacementEngine:
     _searchsorted_rows = staticmethod(
         lambda keys, kidx: searchsorted_rows(keys, kidx))
 
+    # bucket-indexed host lookups, built on first use (round 4: plain
+    # searchsorted was a 28k reads/s host ceiling at protein scale)
+    @functools.cached_property
+    def _db_lookup(self):
+        return make_key_lookup(self.db.keys)
+
+    @functools.cached_property
+    def _light_lookup(self):
+        return make_key_lookup(self._light_keys_np)
+
+    @functools.cached_property
+    def _heavy_lookup(self):
+        return make_key_lookup(self._heavy_keys_np)
+
     def _map_alt_rows(self, kidx: np.ndarray):
         """Raw alternative k-mer indices -> per-table row spec."""
         if self.table == "direct":
             return (self._put_repl(kidx.astype(np.int32)),)
         if self.table == "compact":
-            return (self._put_repl(self._searchsorted_rows(self.db.keys,
-                                                           kidx)),)
-        return (self._put_repl(self._searchsorted_rows(
-                    self._light_keys_np, kidx)),
-                self._put_repl(self._searchsorted_rows(
-                    self._heavy_keys_np, kidx)))
+            return (self._put_repl(self._db_lookup(kidx)),)
+        if self._rof_np is not None:
+            # decode light/heavy rows straight from the direct table
+            space = self.alphabet.n_states ** self.k
+            rof = self._rof_np[np.where(kidx >= 0, kidx, space)]
+            nl, nh = self._nl, self._heavy_keys_np.shape[0]
+            return (self._put_repl(np.minimum(rof, nl)),
+                    self._put_repl(np.where(rof > nl, rof - (nl + 1),
+                                            nh).astype(np.int32)))
+        return (self._put_repl(self._light_lookup(kidx)),
+                self._put_repl(self._heavy_lookup(kidx)))
 
     def _apply_ambiguities(self, amb, acc):
         """Dense modes: add window contributions into the accumulator."""

@@ -29,7 +29,7 @@ import numpy as np
 from rappas_tpu.db import PhyloKmerDB
 from rappas_tpu.place.engine import PlacementEngine
 from rappas_tpu.place.jplace import JplaceWriter
-from rappas_tpu.seqio import BlockBatcher, read_record_blocks
+from rappas_tpu.seqio import IndexBatcher, ingest_blocks
 from rappas_tpu.utils import log
 
 _UNPLACED = "unplaced"
@@ -79,7 +79,7 @@ def place_queries(db: PhyloKmerDB, query_path, workdir,
     # still in flight) | (BatchPlacements, read index) | _UNPLACED |
     # _FILTERED
     seen: dict[bytes, object] = {}
-    batcher = BlockBatcher(batch_size=config.batch_size)
+    batcher = IndexBatcher(batch_size=config.batch_size)
     t0 = time.time()
     counts = {"total": 0, "unique": 0, "unplaced": 0}
 
@@ -100,15 +100,17 @@ def place_queries(db: PhyloKmerDB, query_path, workdir,
     resolution = db.meta.get("orinodes_resolution")
     notplaced = open(logs / f"notplaced_{qname}.tsv{suffix}", "w")
 
-    # one python loop per read total: md5 dedup + bucket buffering; the
-    # reference's strictly serial equivalent is
+    # one python loop per read total: md5 dedup bookkeeping only -- the
+    # parse / md5 / matrix work runs in native block calls
+    # (rappas_tpu.native.parse_fasta_block via seqio.ingest_blocks);
+    # the reference's strictly serial equivalent is
     # PlacementProcess.java:568-645
-    from hashlib import md5 as _md5
 
     def handle_batch(meta, in_flight_batch):
         """Fold one completed batch into the writer -- array work per
         BATCH, python work only for the per-read dedup dict and the
-        rare unplaced/filtered reads."""
+        rare unplaced/filtered reads.  ``meta`` rows are
+        ``(block, record_idx, md5_key, arrival_order)``."""
         res = in_flight_batch.result()
         n = len(meta)
         counts["unique"] += n
@@ -118,14 +120,14 @@ def place_queries(db: PhyloKmerDB, query_path, workdir,
         if config.ns_bound > float("-inf"):
             filtered = placed & (res.top_scores[:n, 0] < config.ns_bound)
             placed &= ~filtered
-        headers = [m[0] for m in meta]
-        orders = np.fromiter((m[2] for m in meta), np.int64, n)
+        headers = [m[0].header(m[1]) for m in meta]
+        orders = np.fromiter((m[3] for m in meta), np.int64, n)
         reads = np.flatnonzero(placed)
         batch = writer.add_batch(headers, pre, reads, orders[reads])
         placed_l = placed.tolist()
         filtered_l = filtered.tolist()
         unplaced_lines = []
-        for i, (header, key, order) in enumerate(meta):
+        for i, (_, _, key, order) in enumerate(meta):
             dups = seen[key]
             if placed_l[i]:
                 if dups:
@@ -135,7 +137,7 @@ def place_queries(db: PhyloKmerDB, query_path, workdir,
             elif filtered_l[i]:
                 seen[key] = _FILTERED
             else:
-                unplaced_lines.append(header)
+                unplaced_lines.append(headers[i])
                 unplaced_lines.extend(dups)
                 seen[key] = _UNPLACED
         if unplaced_lines:
@@ -172,38 +174,42 @@ def place_queries(db: PhyloKmerDB, query_path, workdir,
     gidx = 0       # index over the whole file (round-robin host shard,
     #                rappas_tpu.parallel.distributed.shard_reads)
     order = 0      # arrival rank within this shard (output ordering)
-    for records in read_record_blocks(query_path):
-        for header, seq in records:
+    for pb in ingest_blocks(query_path):
+        # md5 keys come pre-computed per block (gap-stripped sequence,
+        # PlacementProcess.java:591-596 / Fasta.java:34-39)
+        keys_blob = pb.md5s.tobytes()
+        fresh_i: list[int] = []
+        fresh_meta: list[tuple] = []
+        for i in range(pb.n):
             if shard is not None:
                 mine = gidx % shard[1] == shard[0]
                 gidx += 1
                 if not mine:
                     continue
             counts["total"] += 1
-            # the reference md5-hashes the gap-stripped sequence
-            # (PlacementProcess.java:591-596, Fasta.java:34-39)
-            key = _md5(seq.replace(b"-", b"") if b"-" in seq
-                       else seq).digest()
+            key = keys_blob[16 * i:16 * i + 16]
             prev = seen.get(key)
             if prev is None:
                 seen[key] = []
-                b = batcher.add((header, key, order), seq)
-                if b is not None:
-                    submit(b)
+                fresh_i.append(i)
+                fresh_meta.append((pb, i, key, order))
             elif isinstance(prev, list):
-                prev.append(header)
+                prev.append(pb.header(i))
             elif prev is _UNPLACED:
                 # the reference re-processes duplicates of unplaced
                 # reads and lists each occurrence
                 # (PlacementProcess.java:591-629 only dedups *placed*
                 # reads)
-                notplaced.write(header + "\n")
+                notplaced.write(pb.header(i) + "\n")
                 counts["unplaced"] += 1
             elif prev is _FILTERED:
                 pass  # nsbound-filtered reads re-filter silently
             else:
-                JplaceWriter.add_duplicate(prev[0], prev[1], header)
+                JplaceWriter.add_duplicate(prev[0], prev[1],
+                                           pb.header(i))
             order += 1
+        for b in batcher.add_block(pb, fresh_i, fresh_meta):
+            submit(b)
     for b in batcher.flush():
         submit(b)
     for item in in_flight:
