@@ -80,8 +80,32 @@ def _jp_lib() -> ctypes.CDLL:
             c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p, c.c_int64,
             c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,
             c.c_int, c.c_void_p, c.c_int64, c.c_void_p]
+        lib.jp_format_lines.restype = c.c_longlong
+        lib.jp_format_lines.argtypes = [
+            c.c_char_p, c.c_void_p, c.c_char_p, c.c_void_p,
+            c.c_longlong, c.c_void_p, c.c_longlong, c.c_void_p]
         lib._jp_configured = True
     return lib
+
+
+def format_placement_lines(rows_blob: bytes, rows_off: np.ndarray,
+                           hdr_blob: bytes, hdr_off: np.ndarray):
+    """Assemble a batch's full ``{"p":[...],"nm":[["h",1]]}`` lines in
+    one native call.  Returns ``(blob bytes, out_off int64[n+1])``."""
+    lib = _jp_lib()
+    n = rows_off.shape[0] - 1
+    rows_off = np.ascontiguousarray(rows_off, np.int64)
+    hdr_off = np.ascontiguousarray(hdr_off, np.int64)
+    out_off = np.empty(n + 1, np.int64)
+    cap = len(rows_blob) + 2 * len(hdr_blob) + 40 * max(n, 1)
+    while True:
+        buf = ctypes.create_string_buffer(cap)
+        written = lib.jp_format_lines(
+            rows_blob, rows_off.ctypes.data, hdr_blob,
+            hdr_off.ctypes.data, n, buf, cap, out_off.ctypes.data)
+        if written >= 0:
+            return buf.raw[:written], out_off
+        cap *= 2
 
 
 def format_placement_rows(nodes: np.ndarray, scores: np.ndarray,

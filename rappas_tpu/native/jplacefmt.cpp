@@ -81,4 +81,57 @@ long long jp_format_rows(
     return p - out;
 }
 
+// Assemble full placement lines for one batch:
+//   {"p":[<rows_i>],"nm":[["<header_i>",1]]}
+// rows_buf/rows_off come from jp_format_rows; hdr_buf/hdr_off hold the
+// utf-8 headers of the SAME placements.  Headers are JSON-escaped while
+// copying ('"', '\\' and control bytes -> \u00XX; other bytes pass
+// through raw, i.e. ensure_ascii=False semantics).  Placements whose
+// "nm" carries duplicate-read entries are re-rendered by the python
+// caller; this covers the overwhelmingly common single-name case.
+// Returns total bytes written or -1 if out is too small (caller grows).
+long long jp_format_lines(const char* rows_buf, const long long* rows_off,
+                          const char* hdr_buf, const long long* hdr_off,
+                          long long n, char* out, long long cap,
+                          long long* out_off) {
+    static const char hexd[] = "0123456789abcdef";
+    char* p = out;
+    char* lim = out + cap;
+    for (long long i = 0; i < n; i++) {
+        long long rlen = rows_off[i + 1] - rows_off[i];
+        long long hlen = hdr_off[i + 1] - hdr_off[i];
+        // worst case: every header byte escapes to 6 chars
+        if (p + rlen + 6 * hlen + 32 > lim) return -1;
+        out_off[i] = p - out;
+        std::memcpy(p, "{\"p\":[", 6);
+        p += 6;
+        std::memcpy(p, rows_buf + rows_off[i], rlen);
+        p += rlen;
+        std::memcpy(p, "],\"nm\":[[\"", 10);
+        p += 10;
+        const char* h = hdr_buf + hdr_off[i];
+        for (long long j = 0; j < hlen; j++) {
+            unsigned char c = h[j];
+            if (c == '"' || c == '\\') {
+                *p++ = '\\';
+                *p++ = c;
+            } else if (c < 0x20) {
+                std::memcpy(p, "\\u00", 4);
+                p += 4;
+                *p++ = hexd[c >> 4];
+                *p++ = hexd[c & 15];
+            } else {
+                *p++ = c;
+            }
+        }
+        // ",\n" trails every line so consecutive-run consumers can
+        // slice N pre-joined lines in one go (the caller strips the
+        // final separator)
+        std::memcpy(p, "\",1]]},\n", 8);
+        p += 8;
+    }
+    out_off[n] = p - out;
+    return p - out;
+}
+
 }  // extern "C"

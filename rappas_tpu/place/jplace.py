@@ -141,8 +141,8 @@ class JplaceWriter:
         batch.extra.setdefault(i, []).append(header.split(" ")[0])
 
     # -------------------------------------------------------------- #
-    def _batch_row_texts(self, b: BatchPlacements) -> list[str]:
-        """jplace ``"p"`` row-list text per placement of one batch."""
+    def _batch_rows(self, b: BatchPlacements):
+        """Masked row arrays + offsets for one batch's placements."""
         pre = b.pre
         reads = b.reads
         n_keep = pre["n_keep"][reads]
@@ -153,25 +153,39 @@ class JplaceWriter:
         lwrs = pre["lwr"][reads][mask]
         row_off = np.zeros(reads.shape[0] + 1, np.int64)
         np.cumsum(n_keep, out=row_off[1:])
-        if self._native_fmt:
-            try:
-                from rappas_tpu.native import format_placement_rows
-                text, off = format_placement_rows(
-                    nodes, scores, lwrs, row_off,
-                    self._estr_buf, self._estr_off,
-                    self._dstr_buf, self._dstr_off, self.guppy)
-                s = text.decode("ascii")
-                off = off.tolist()
-                return [s[off[i]:off[i + 1]]
-                        for i in range(reads.shape[0])]
-            except Exception:      # toolchain missing: python fallback
-                self._native_fmt = False
+        return nodes, scores, lwrs, row_off
+
+    def _batch_rows_native(self, b: BatchPlacements):
+        """``(rows_blob bytes, rows_off)`` via the native formatter, or
+        None when the toolchain is missing."""
+        if not self._native_fmt:
+            return None
+        nodes, scores, lwrs, row_off = self._batch_rows(b)
+        try:
+            from rappas_tpu.native import format_placement_rows
+            return format_placement_rows(
+                nodes, scores, lwrs, row_off,
+                self._estr_buf, self._estr_off,
+                self._dstr_buf, self._dstr_off, self.guppy)
+        except Exception:          # toolchain missing: python fallback
+            self._native_fmt = False
+            return None
+
+    def _batch_row_texts(self, b: BatchPlacements) -> list[str]:
+        """jplace ``"p"`` row-list text per placement of one batch."""
+        nat = self._batch_rows_native(b)
+        if nat is not None:
+            s = nat[0].decode("ascii")
+            off = nat[1].tolist()
+            return [s[off[i]:off[i + 1]]
+                    for i in range(b.reads.shape[0])]
+        nodes, scores, lwrs, row_off = self._batch_rows(b)
         es, ds = self._edge_str, self._distal_str
         nl = nodes.tolist()
         sl = scores.tolist()
         wl = lwrs.tolist()
         out = []
-        for i in range(reads.shape[0]):
+        for i in range(b.reads.shape[0]):
             lo, hi = int(row_off[i]), int(row_off[i + 1])
             if self.guppy:
                 out.append(",".join(
@@ -185,33 +199,80 @@ class JplaceWriter:
                     for r in range(lo, hi)))
         return out
 
-    def _ordered_texts(self):
-        """Yield '{"p":...,"nm":...}' text per placement in
-        first-occurrence read order (the reference's serial order)."""
+    def _batch_lines(self, b: BatchPlacements):
+        """Fully-assembled ``{"p":..,"nm":..},\\n`` lines of one batch
+        (native): ``(blob, line_off, rows_blob, rows_off)``.  None when
+        the toolchain is missing."""
+        nat = self._batch_rows_native(b)
+        if nat is None:
+            return None
+        rows_blob, rows_off = nat
+        hs = [h.encode("utf-8") for h in
+              (b.headers[i] for i in b.reads.tolist())]
+        hdr_off = np.zeros(len(hs) + 1, np.int64)
+        np.cumsum(np.fromiter(map(len, hs), np.int64, len(hs)),
+                  out=hdr_off[1:])
+        from rappas_tpu.native import format_placement_lines
+        blob, off = format_placement_lines(rows_blob, rows_off,
+                                           b"".join(hs), hdr_off)
+        return blob, off, rows_blob, rows_off
+
+    def _ordered_chunks(self):
+        """Yield placement text as BYTES chunks in first-occurrence read
+        order (the reference's serial order).  A chunk holds >= 1
+        complete ``{"p":...,"nm":...}`` objects joined by b",\\n"; runs
+        of consecutive placements from one batch are sliced from the
+        batch's native line blob in one go, so per-placement python work
+        only remains for duplicate-read ``nm`` lists and the no-toolchain
+        fallback."""
         if not self._batches:
             return
-        sizes = [b.reads.shape[0] for b in self._batches]
-        all_orders = np.concatenate([b.orders for b in self._batches])
+        bl = self._batches
+        sizes = [b.reads.shape[0] for b in bl]
+        all_orders = np.concatenate([b.orders for b in bl])
         bidx = np.repeat(np.arange(len(sizes)), sizes)
         pos = np.concatenate([np.arange(s) for s in sizes]) \
             if sizes else np.zeros(0, np.int64)
         srt = np.argsort(all_orders, kind="stable")
-        texts = [None] * len(self._batches)
-        for t in srt.tolist():
-            j = int(bidx[t])
-            b = self._batches[j]
-            if texts[j] is None:
-                texts[j] = self._batch_row_texts(b)
-            p = int(pos[t])
-            i = int(b.reads[p])
-            header = b.headers[i]
-            extra = b.extra.get(i)
-            if extra:
-                nm = ",".join(
-                    "[%s,1]" % _json_str(h) for h in [header] + extra)
-            else:
-                nm = "[%s,1]" % _json_str(header)
-            yield '{"p":[%s],"nm":[%s]}' % (texts[j][p], nm)
+        bid_s = bidx[srt]
+        pos_s = pos[srt]
+        n = srt.shape[0]
+        run_starts = np.flatnonzero(np.concatenate(
+            [[True], (bid_s[1:] != bid_s[:-1]) |
+             (pos_s[1:] != pos_s[:-1] + 1)])) if n else np.zeros(0,
+                                                                 np.int64)
+        run_ends = np.append(run_starts[1:], n)
+        lines = [None] * len(bl)
+        texts = [None] * len(bl)
+        for s, e in zip(run_starts.tolist(), run_ends.tolist()):
+            j = int(bid_s[s])
+            b = bl[j]
+            if lines[j] is None:
+                lines[j] = self._batch_lines(b) or False
+            ent = lines[j]
+            p0, p1 = int(pos_s[s]), int(pos_s[e - 1])
+            if ent is not False and not b.extra:
+                blob, off = ent[0], ent[1]
+                yield blob[off[p0]:off[p1 + 1] - 2]   # strip last ",\n"
+                continue
+            for p in range(p0, p1 + 1):
+                i = int(b.reads[p])
+                extra = b.extra.get(i)
+                if ent is not False and not extra:
+                    yield ent[0][ent[1][p]:ent[1][p + 1] - 2]
+                    continue
+                header = b.headers[i]
+                nm = ",".join("[%s,1]" % _json_str(h)
+                              for h in [header] + (extra or []))
+                if ent is not False:
+                    rows = ent[2][ent[3][p]:ent[3][p + 1]] \
+                        .decode("ascii")
+                else:
+                    if texts[j] is None:
+                        texts[j] = self._batch_row_texts(b)
+                    rows = texts[j][p]
+                yield ('{"p":[%s],"nm":[%s]}' % (rows, nm)) \
+                    .encode("utf-8")
 
     # -------------------------------------------------------------- #
     def _fields(self) -> list[str]:
@@ -224,7 +285,8 @@ class JplaceWriter:
     def to_dict(self) -> dict:
         return {
             "tree": jplace_tree_string(self.tree),
-            "placements": [json.loads(t) for t in self._ordered_texts()],
+            "placements": [json.loads(t) for c in self._ordered_chunks()
+                           for t in c.split(b",\n")],
             "version": 3,
             "metadata": {"invocation": self.invocation},
             "fields": self._fields(),
@@ -235,25 +297,19 @@ class JplaceWriter:
 
         Hand-rolled serialisation: ``json.dump`` dominates the host-side
         placement budget at high read counts (measured 12s per 100k
-        reads)."""
-        with open(path, "w") as f:
-            f.write('{"tree":')
-            f.write(json.dumps(jplace_tree_string(self.tree)))
-            f.write(',\n"placements":[')
-            out = []
+        reads); since round 4 whole batch runs are native-formatted byte
+        chunks (``jplacefmt.cpp``)."""
+        with open(path, "wb") as f:
+            f.write(b'{"tree":')
+            f.write(json.dumps(jplace_tree_string(self.tree)).encode())
+            f.write(b',\n"placements":[')
             first = True
-            for t in self._ordered_texts():
-                out.append(t)
-                if len(out) >= 4096:
-                    f.write("\n" if first else ",\n")
-                    first = False
-                    f.write(",\n".join(out))
-                    out = []
-            if out:
-                f.write("\n" if first else ",\n")
-                f.write(",\n".join(out))
-            f.write('\n],\n"version":3,\n"metadata":')
-            f.write(json.dumps({"invocation": self.invocation}))
-            f.write(',\n"fields":')
-            f.write(json.dumps(self._fields()))
-            f.write("}\n")
+            for c in self._ordered_chunks():
+                f.write(b"\n" if first else b",\n")
+                first = False
+                f.write(c)
+            f.write(b'\n],\n"version":3,\n"metadata":')
+            f.write(json.dumps({"invocation": self.invocation}).encode())
+            f.write(b',\n"fields":')
+            f.write(json.dumps(self._fields()).encode())
+            f.write(b"}\n")

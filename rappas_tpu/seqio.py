@@ -335,7 +335,7 @@ class PyBlock:
     def fill_matrix(self, idx: np.ndarray, L: int) -> np.ndarray:
         mat = np.full((len(idx), L), 0xFF, np.uint8)
         for row, i in enumerate(np.asarray(idx, np.int64)):
-            s = self._seqs[i]
+            s = self._seqs[i][:L]
             mat[row, :len(s)] = np.frombuffer(s, np.uint8)
         return mat
 

@@ -1,0 +1,133 @@
+"""Native read-ingest layer vs python fallback (round 4).
+
+The pipeline consumes parsed blocks (``seqio.ingest_blocks``); the
+native path (C++ parse + RFC1321 md5 + matrix fill,
+``rappas_tpu/native/ingest.cpp``) must agree byte-for-byte with
+:class:`rappas_tpu.seqio.PyBlock`, and the native jplace line assembler
+(``jplacefmt.cpp jp_format_lines``) must produce output the python
+formatter parses identically.
+"""
+
+import hashlib
+import json
+
+import numpy as np
+import pytest
+
+from rappas_tpu.seqio import IndexBatcher, PyBlock, read_raw_fasta_blocks
+
+native = pytest.importorskip("rappas_tpu.native")
+
+
+def _records(n=500, seed=0, dashes=True):
+    rng = np.random.default_rng(seed)
+    alpha = np.frombuffer(b"ACGTN" + (b"-" if dashes else b""), np.uint8)
+    out = []
+    for i in range(n):
+        L = int(rng.integers(0, 200))
+        out.append((f"q{i} desc/{i}",
+                    alpha[rng.integers(0, alpha.size, L)].tobytes()))
+    return out
+
+
+def _blob(recs):
+    return b"\n".join(b">" + h.encode() + b"\n" + s
+                      for h, s in recs) + b"\n"
+
+
+def test_parse_block_matches_pyblock():
+    recs = _records()
+    pb = native.parse_fasta_block(_blob(recs))
+    py = PyBlock(recs)
+    assert pb.n == py.n == len(recs)
+    assert np.array_equal(pb.lens, py.lens)
+    assert np.array_equal(pb.md5s, py.md5s)
+    for i in (0, 7, 499):
+        assert pb.header(i) == py.header(i)
+        assert pb.sequence(i) == py.sequence(i)
+    idx = np.arange(0, 500, 7)
+    assert np.array_equal(pb.fill_matrix(idx, 256),
+                          py.fill_matrix(idx, 256))
+
+
+def test_md5_matches_hashlib_gap_stripped():
+    recs = _records(50, seed=3)
+    pb = native.parse_fasta_block(_blob(recs))
+    for i, (_, s) in enumerate(recs):
+        assert pb.md5s[i].tobytes() == \
+            hashlib.md5(s.replace(b"-", b"")).digest()
+
+
+def test_parse_multiline_and_crlf_and_comments():
+    data = (b">r1 one\r\nACGT\r\nTT\r\n#note\n>r2\n\n>r3\nAC\n")
+    pb = native.parse_fasta_block(data)
+    assert pb.n == 3
+    assert pb.header(0) == "r1 one"
+    assert pb.sequence(0) == b"ACGTTT"
+    assert pb.sequence(1) == b""
+    assert pb.sequence(2) == b"AC"
+
+
+def test_raw_blocks_cover_file(tmp_path):
+    recs = _records(300, seed=5, dashes=False)
+    p = tmp_path / "reads.fasta"
+    p.write_bytes(_blob(recs))
+    seen = []
+    for block in read_raw_fasta_blocks(p, block_bytes=4096):
+        pb = native.parse_fasta_block(block)
+        seen.extend(pb.header(i) for i in range(pb.n))
+    assert seen == [h for h, _ in recs]
+
+
+def test_index_batcher_round_trip():
+    recs = _records(333, seed=7, dashes=False)
+    pb = PyBlock(recs)
+    bat = IndexBatcher(batch_size=64)
+    metas_in = [(pb, i) for i in range(pb.n)]
+    batches = bat.add_block(pb, list(range(pb.n)), metas_in)
+    batches += list(bat.flush())
+    total = 0
+    for metas, lens, mat in batches:
+        assert mat.shape[0] == 64          # pad_batch static shape
+        for r, (blk, i) in enumerate(metas):
+            s = blk.sequence(i)
+            assert lens[r] == len(s)
+            assert mat[r, :len(s)].tobytes() == s
+            assert (mat[r, len(s):] == 0xFF).all()
+        total += len(metas)
+    assert total == pb.n
+
+
+def test_jplace_lines_native_matches_python(tmp_path):
+    """Force the python formatter and compare parsed placements."""
+    from rappas_tpu.place.jplace import JplaceWriter
+    from rappas_tpu.tree import parse_newick
+
+    def build_writer(native_fmt):
+        tree = parse_newick("(A:0.1,B:0.2,(C:0.3,D:0.1)E:0.2)root;")
+        tree.reset_jplace_edge_ids()
+        w = JplaceWriter(tree, "test")
+        w._native_fmt = native_fmt
+        rng = np.random.default_rng(0)
+        n, K = 37, 5
+        pre = {
+            "node": rng.integers(0, 6, (n, K)),
+            "scores": rng.random((n, K)).astype(np.float32) * -50,
+            "lwr": rng.random((n, K)).astype(np.float32),
+            "n_keep": rng.integers(1, K + 1, n).astype(np.int64),
+        }
+        headers = [f'h{i} "q"\\x' if i % 5 == 0 else f"h{i}"
+                   for i in range(n)]
+        reads = np.arange(n, dtype=np.int64)
+        orders = rng.permutation(n).astype(np.int64)
+        b = w.add_batch(headers, pre, reads, orders)
+        w.add_duplicate(b, 3, "dup3 tail")
+        return w
+
+    d_nat = build_writer(True).to_dict()
+    d_py = build_writer(False).to_dict()
+    assert len(d_nat["placements"]) == len(d_py["placements"]) == 37
+    assert d_nat == d_py
+    out = tmp_path / "x.jplace"
+    build_writer(True).write(out)
+    assert json.load(open(out)) == d_nat
