@@ -349,7 +349,9 @@ def bench_k12_postings(payload):
         CACHE.mkdir(parents=True, exist_ok=True)
         db.save(cached)
     eng = PlacementEngine(db, table="postings")
-    mat, lens = _dna_reads(16384, 150, seed=4)
+    # B=8192 is the measured throughput peak for this regime
+    # (scripts/round4_probe_a2.py: 689k vs 588k at 16384)
+    mat, lens = _dna_reads(8192, 150, seed=4)
     rate = engine_device_rate(eng, mat, lens)
     payload["k12_postings_device_reads_per_s"] = round(rate)
     payload["k12_postings_db"] = (f"{db.n_kmers} kmers, {db.nnz} "

@@ -395,6 +395,23 @@ def _pow2(n: int) -> int:
     return 1 << max(0, int(np.ceil(np.log2(max(n, 1)))))
 
 
+def _bucket_size(n: int) -> int:
+    """Smallest padded size >= n from a pow2-with-quarter-steps ladder
+    (mantissa 4-8 of a pow2 step).
+
+    Used for the two-stage unique row arrays: plain pow2 pads waste up
+    to ~50% of the unique-gather work right past a boundary -- measured
+    694k vs 461k reads/s at k=12/4000 for two same-shaped batches whose
+    U crossed 65536 on one part (docs/PERF.md round 4).  Quarter steps
+    bound the waste at ~12.5% mean while keeping the compile-variant
+    count small (4 shapes per octave, cached across batches)."""
+    n = max(int(n), 1)
+    if n <= 16:
+        return _pow2(n)
+    step = 1 << ((n - 1).bit_length() - 3)
+    return -(-n // step) * step
+
+
 def _fast_unique_inverse(flat: np.ndarray):
     """(unique sorted values, inverse map) -- torch-backed (multi-core
     sort) with a numpy fallback."""
@@ -900,15 +917,26 @@ class PlacementEngine:
         TPU analog of the reference's direct-vs-hashed capacity choice,
         ``CustomHash_v4_FastUtil81.java:49-63``).
 
-        Round-4 rule, from measurement (scripts/round4_probe.py, real
-        v5e): the dense row-gather runs at its ~5-7 ns/row fast rate
-        only while the table is VMEM-stageable; past that the postings
-        layout won EVERY probed regime -- k=10 DNA 586k vs 443k (direct,
-        1.26 GB) vs 44k (compact) reads/s; protein k=8 1.78M vs 384k
-        (compact); multi-GB k=12 only fits as postings.  So: direct for
-        small dense tables, postings otherwise.  The compact layout
-        remains reachable explicitly and for u16 precision (postings is
-        f32-only: the sort payload carries exact deltas).
+        Round-4 rules, from measurement (scripts/round4_probe.py, real
+        v5e):
+
+        * the dense row-gather runs at its ~5-7 ns/row fast rate only
+          while the table is VMEM-stageable; within that zone direct is
+          fastest (config 1: 1.08M reads/s at 80 MB);
+        * past it, the POSTINGS layout wins every LIGHT-dominated
+          regime -- sparse k=10 DNA 586k vs 443k (direct, 1.26 GB) vs
+          44k (compact); protein k=8 1.78M vs 384k (compact); the
+          multi-GB k=12 DB only fits as postings at all;
+        * but a HEAVY-dominated DB (most postings in k-mers with more
+          than ``width`` entries, e.g. the real 150-taxon k=10 build:
+          94M postings, ~90 per k-mer) turns every hit into a dense
+          [E]-row source and postings collapses (131k vs ~443k direct,
+          BENCH r4) -- such DBs take the direct/compact capacity rule
+          (the reference's own choice, CustomHash_v4:49-63).
+
+        The compact layout stays reachable explicitly and for u16
+        precision (postings is f32-only: the sort payload carries exact
+        deltas).
         """
         if table != "auto":
             return table
@@ -919,13 +947,16 @@ class PlacementEngine:
         fast_bytes = 2 * cls.LIGHT_SPLIT_BYTES     # VMEM-stageable zone
         if dense_bytes <= min(fast_bytes, direct_byte_limit):
             return "direct"
+        lens = np.diff(db.offsets)
+        heavy_nnz = int(lens[lens > 8].sum()) if lens.size else 0
+        light_dominated = heavy_nnz * 2 <= max(int(db.nnz), 1)
+        if precision != "u16" and light_dominated:
+            return "postings"
+        if dense_bytes <= max(direct_byte_limit, 2 * compact_bytes):
+            return "direct"
+        if compact_bytes <= direct_byte_limit:
+            return "compact"
         if precision == "u16":
-            # postings mode is f32-only; keep the pre-round-4 capacity
-            # rule for the quantized tables
-            if dense_bytes <= max(direct_byte_limit, 2 * compact_bytes):
-                return "direct"
-            if compact_bytes <= direct_byte_limit:
-                return "compact"
             raise ValueError(
                 "DB too large for u16 dense/compact tables; use "
                 "precision='f32' (postings layout)")
@@ -1182,7 +1213,7 @@ class PlacementEngine:
                     cuts = np.searchsorted(uniq, offs[1:])
                     starts = np.concatenate([[0], cuts[:-1]])
                     pads = np.array(
-                        [_pow2(max(int(c - s), 1))
+                        [_bucket_size(max(int(c - s), 1))
                          for s, c in zip(starts, cuts)], np.int64)
                     us = []
                     for i in range(nparts):
@@ -1195,7 +1226,7 @@ class PlacementEngine:
                     part_of = np.searchsorted(cuts, inv, side="right")
                     inv = pad_off[part_of] + (inv - starts[part_of])
                 else:
-                    Up = _pow2(U)
+                    Up = _bucket_size(U)
                     uniq_pad = np.full(Up, nl, np.int32)
                     uniq_pad[:U] = uniq
                     uniq_dev = self._put_repl(uniq_pad)
