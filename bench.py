@@ -350,7 +350,7 @@ def bench_k12_postings(payload):
         db.save(cached)
     eng = PlacementEngine(db, table="postings")
     # B=8192 is the measured throughput peak for this regime
-    # (scripts/round4_probe_a2.py: 689k vs 588k at 16384)
+    # (scripts/postings_probes.py batch: 689k vs 588k at 16384)
     mat, lens = _dna_reads(8192, 150, seed=4)
     rate = engine_device_rate(eng, mat, lens)
     payload["k12_postings_device_reads_per_s"] = round(rate)
@@ -376,7 +376,9 @@ def bench_k12_multigb(payload):
     parts = [p.shape[0] for p in eng.light_parts]
     dev_b = (sum(p.nbytes for p in eng.light_parts) + eng.D.nbytes +
              (eng._rof_np.nbytes if eng._rof_np is not None else 0))
-    mat, lens = _dna_reads(16384, 150, seed=5)
+    # B=4096 peaks in this dense-hit regime (~600 postings/read:
+    # 71k vs 48k at 16384, scripts/round4_probe.py D)
+    mat, lens = _dna_reads(4096, 150, seed=5)
     rate = engine_device_rate(eng, mat, lens)
     payload["k12_multigb_device_reads_per_s"] = round(rate)
     payload["k12_multigb_db"] = (f"{db.nnz} postings, "

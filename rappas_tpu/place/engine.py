@@ -449,7 +449,7 @@ def finalize_postings_v2(light_parts: tuple, lrows: jax.Array,
 def light_gather(parts: tuple, lrows: jax.Array) -> jax.Array:
     """Row gather from a light table stored as N height-split parts.
 
-    Measured v5e gather rates (scripts/postings_probe2.py): tables under
+    Measured v5e gather rates (scripts/postings_probes.py gather): tables under
     ~100 MB gather at ~5-7 ns/row (XLA stages them through VMEM); bigger
     tables fall to ~23 ns/row (HBM random-row path).  Splitting a
     too-big table into sub-100MB parts keeps every part on the fast
@@ -777,7 +777,7 @@ class PlacementEngine:
     DIRECT_INDEX_LIMIT = 1 << 30
     #: single light-table part size above which the v5e gather falls off
     #: the ~5-7 ns/row VMEM-staged rate to ~23 ns/row (measured,
-    #: scripts/postings_probe2.py); bigger tables are height-split into
+    #: scripts/postings_probes.py); bigger tables are height-split into
     #: up to MAX_LIGHT_PARTS equal parts
     LIGHT_SPLIT_BYTES = 96 << 20
     #: split-part cap (~MAX * LIGHT_SPLIT_BYTES of light table, ~3 GB:
