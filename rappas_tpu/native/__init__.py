@@ -225,6 +225,10 @@ def _ig_lib() -> ctypes.CDLL:
                                c.c_void_p]
         lib.ig_fill.argtypes = [c.c_void_p, c.c_void_p, c.c_void_p,
                                 c.c_longlong, c.c_longlong, c.c_void_p]
+        lib.dd_new.restype = c.c_void_p
+        lib.dd_free.argtypes = [c.c_void_p]
+        lib.dd_lookup.argtypes = [c.c_void_p, c.c_void_p, c.c_longlong,
+                                  c.c_void_p, c.c_void_p]
         lib._ig_configured = True
     return lib
 
@@ -285,3 +289,31 @@ def parse_fasta_block(data: bytes) -> ParsedBlock:
                md5s.ctypes.data)
     return ParsedBlock(int(got), hdr_buf, hdr_off, seq_buf,
                        seq_off[:got + 1], md5s)
+
+
+class NativeDedup:
+    """md5-digest -> first-occurrence-order map held in C++ (the python
+    dict walk was the last per-read host cost of the placement loop).
+
+    ``dedup(md5s[n,16], orders[n]) -> first[n]`` where ``first[i]`` is
+    -1 for a first occurrence (the digest is registered with
+    ``orders[i]``) or the registered first order for a duplicate."""
+
+    def __init__(self):
+        self._lib = _ig_lib()
+        self._st = self._lib.dd_new()
+
+    def __call__(self, md5s: np.ndarray, orders: np.ndarray) -> np.ndarray:
+        md5s = np.ascontiguousarray(md5s, np.uint8)
+        orders = np.ascontiguousarray(orders, np.int64)
+        n = orders.shape[0]
+        out = np.empty(n, np.int64)
+        self._lib.dd_lookup(self._st, md5s.ctypes.data, n,
+                            orders.ctypes.data, out.ctypes.data)
+        return out
+
+    def __del__(self):
+        try:
+            self._lib.dd_free(self._st)
+        except Exception:
+            pass

@@ -200,3 +200,49 @@ void ig_fill(const char* seq_buf, const long long* seq_off,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------- //
+// dedup map: md5 digest -> first-occurrence order
+// ---------------------------------------------------------------- //
+
+#include <unordered_map>
+
+namespace {
+
+struct K128 {
+    uint64_t a, b;
+    bool operator==(const K128& o) const { return a == o.a && b == o.b; }
+};
+
+struct K128Hash {
+    size_t operator()(const K128& k) const {
+        // md5 output is already uniform; fold the halves
+        return static_cast<size_t>(k.a ^ (k.b * 0x9e3779b97f4a7c15ULL));
+    }
+};
+
+using DedupMap = std::unordered_map<K128, long long, K128Hash>;
+
+}  // namespace
+
+extern "C" {
+
+void* dd_new() { return new DedupMap(); }
+
+void dd_free(void* p) { delete static_cast<DedupMap*>(p); }
+
+// For each digest: emplace (digest -> orders[i]) if unseen and write
+// -1 (fresh); else write the stored first-occurrence order.
+void dd_lookup(void* p, const unsigned char* md5s, long long n,
+               const long long* orders, long long* out_first) {
+    auto* m = static_cast<DedupMap*>(p);
+    for (long long i = 0; i < n; i++) {
+        K128 k;
+        std::memcpy(&k.a, md5s + 16 * i, 8);
+        std::memcpy(&k.b, md5s + 16 * i + 8, 8);
+        auto r = m->try_emplace(k, orders[i]);
+        out_first[i] = r.second ? -1 : r.first->second;
+    }
+}
+
+}  // extern "C"

@@ -32,8 +32,80 @@ from rappas_tpu.place.jplace import JplaceWriter
 from rappas_tpu.seqio import IndexBatcher, ingest_blocks
 from rappas_tpu.utils import log
 
-_UNPLACED = "unplaced"
-_FILTERED = "filtered"
+#: per-order dedup state codes (see _OrderState)
+_IN_FLIGHT, _PLACED, _UNPLACED, _FILTERED = 0, 1, 2, 3
+
+
+class _PyDedup:
+    """Python fallback for :class:`rappas_tpu.native.NativeDedup`
+    (identical contract: first occurrence -> -1 and registers the
+    order; duplicate -> the registered first order)."""
+
+    def __init__(self):
+        self._m: dict[bytes, int] = {}
+
+    def __call__(self, md5s: np.ndarray, orders: np.ndarray) -> np.ndarray:
+        blob = np.ascontiguousarray(md5s, np.uint8).tobytes()
+        ol = orders.tolist()
+        out = np.empty(len(ol), np.int64)
+        m = self._m
+        for i, o in enumerate(ol):
+            v = m.setdefault(blob[16 * i:16 * i + 16], o)
+            out[i] = -1 if v == o else v
+        return out
+
+
+def _make_dedup():
+    try:
+        from rappas_tpu.native import NativeDedup
+        return NativeDedup()
+    except Exception:
+        return _PyDedup()
+
+
+class _OrderState:
+    """Per-arrival-order placement state, array-backed so batch
+    completion registers a whole batch with three vectorized stores.
+
+    ``status[o]``: _IN_FLIGHT | _PLACED | _UNPLACED | _FILTERED;
+    placed orders also carry ``(bidx, slot)`` -> the
+    :class:`BatchPlacements` and in-batch read index a duplicate
+    attaches to.  ``pending[o]`` queues full headers of duplicates that
+    arrived while order ``o``'s batch was still in flight."""
+
+    def __init__(self):
+        n = 1 << 14
+        self.status = np.zeros(n, np.int8)
+        self.bidx = np.full(n, -1, np.int32)
+        self.slot = np.zeros(n, np.int32)
+        self.batches: list = []
+        self.pending: dict[int, list] = {}
+
+    def ensure(self, n):
+        cur = self.status.shape[0]
+        if n <= cur:
+            return
+        new = max(n, cur * 2)
+        self.status = np.concatenate(
+            [self.status, np.zeros(new - cur, np.int8)])
+        self.bidx = np.concatenate(
+            [self.bidx, np.full(new - cur, -1, np.int32)])
+        self.slot = np.concatenate(
+            [self.slot, np.zeros(new - cur, np.int32)])
+
+    def register(self, batch, orders, placed, filtered):
+        """Vectorized per-batch state store (orders: int64[n], placed /
+        filtered: bool[n]; slots are in-batch read indices 0..n)."""
+        bid = len(self.batches)
+        self.batches.append(batch)
+        self.ensure(int(orders.max()) + 1 if orders.size else 0)
+        self.status[orders] = np.select(
+            [placed, filtered], [_PLACED, _FILTERED], _UNPLACED)
+        self.bidx[orders] = bid
+        self.slot[orders] = np.arange(orders.shape[0], dtype=np.int32)
+
+    def batch_of(self, order):
+        return self.batches[int(self.bidx[order])], int(self.slot[order])
 
 
 @dataclasses.dataclass
@@ -75,10 +147,8 @@ def place_queries(db: PhyloKmerDB, query_path, workdir,
                           ns_bound=config.ns_bound)
     arr = db.arrays
 
-    # seen[md5] is: list (pending duplicate headers, first occurrence
-    # still in flight) | (BatchPlacements, read index) | _UNPLACED |
-    # _FILTERED
-    seen: dict[bytes, object] = {}
+    dedup = _make_dedup()
+    reg = _OrderState()
     batcher = IndexBatcher(batch_size=config.batch_size)
     t0 = time.time()
     counts = {"total": 0, "unique": 0, "unplaced": 0}
@@ -100,17 +170,17 @@ def place_queries(db: PhyloKmerDB, query_path, workdir,
     resolution = db.meta.get("orinodes_resolution")
     notplaced = open(logs / f"notplaced_{qname}.tsv{suffix}", "w")
 
-    # one python loop per read total: md5 dedup bookkeeping only -- the
-    # parse / md5 / matrix work runs in native block calls
-    # (rappas_tpu.native.parse_fasta_block via seqio.ingest_blocks);
-    # the reference's strictly serial equivalent is
-    # PlacementProcess.java:568-645
+    # ZERO python loops over reads on the hot path: parse / md5 /
+    # dedup-map / matrix fill run in native block calls
+    # (rappas_tpu.native via seqio.ingest_blocks), state registration is
+    # three vectorized stores, and python only touches actual
+    # duplicates and unplaced reads.  The reference's strictly serial
+    # equivalent is PlacementProcess.java:568-645.
 
     def handle_batch(meta, in_flight_batch):
         """Fold one completed batch into the writer -- array work per
-        BATCH, python work only for the per-read dedup dict and the
-        rare unplaced/filtered reads.  ``meta`` rows are
-        ``(block, record_idx, md5_key, arrival_order)``."""
+        BATCH.  ``meta`` rows are ``(block, record_idx,
+        arrival_order)``."""
         res = in_flight_batch.result()
         n = len(meta)
         counts["unique"] += n
@@ -121,25 +191,30 @@ def place_queries(db: PhyloKmerDB, query_path, workdir,
             filtered = placed & (res.top_scores[:n, 0] < config.ns_bound)
             placed &= ~filtered
         headers = [m[0].header(m[1]) for m in meta]
-        orders = np.fromiter((m[3] for m in meta), np.int64, n)
+        orders = np.fromiter((m[2] for m in meta), np.int64, n)
         reads = np.flatnonzero(placed)
         batch = writer.add_batch(headers, pre, reads, orders[reads])
-        placed_l = placed.tolist()
-        filtered_l = filtered.tolist()
+        reg.register(batch, orders, placed, filtered)
         unplaced_lines = []
-        for i, (_, _, key, order) in enumerate(meta):
-            dups = seen[key]
-            if placed_l[i]:
-                if dups:
-                    for dup_header in dups:
+        # duplicates queued while this batch was in flight (rare):
+        # resolve BEFORE listing unplaced so a first occurrence and its
+        # early duplicates land together, like the serial reference
+        pending_here = {}
+        if reg.pending:
+            oset = set(orders.tolist())
+            for o in [o for o in reg.pending if o in oset]:
+                pending_here[o] = reg.pending.pop(o)
+        if not placed.all() or pending_here:
+            placed_l = placed.tolist()
+            filtered_l = filtered.tolist()
+            for i, o in enumerate(orders.tolist()):
+                dups = pending_here.get(o)
+                if placed_l[i]:
+                    for dup_header in dups or ():
                         JplaceWriter.add_duplicate(batch, i, dup_header)
-                seen[key] = (batch, i)
-            elif filtered_l[i]:
-                seen[key] = _FILTERED
-            else:
-                unplaced_lines.append(headers[i])
-                unplaced_lines.extend(dups)
-                seen[key] = _UNPLACED
+                elif not filtered_l[i]:
+                    unplaced_lines.append(headers[i])
+                    unplaced_lines.extend(dups or ())
         if unplaced_lines:
             counts["unplaced"] += len(unplaced_lines)
             notplaced.write("\n".join(unplaced_lines) + "\n")
@@ -176,39 +251,41 @@ def place_queries(db: PhyloKmerDB, query_path, workdir,
     order = 0      # arrival rank within this shard (output ordering)
     for pb in ingest_blocks(query_path):
         # md5 keys come pre-computed per block (gap-stripped sequence,
-        # PlacementProcess.java:591-596 / Fasta.java:34-39)
-        keys_blob = pb.md5s.tobytes()
-        fresh_i: list[int] = []
-        fresh_meta: list[tuple] = []
-        for i in range(pb.n):
-            if shard is not None:
-                mine = gidx % shard[1] == shard[0]
-                gidx += 1
-                if not mine:
-                    continue
-            counts["total"] += 1
-            key = keys_blob[16 * i:16 * i + 16]
-            prev = seen.get(key)
-            if prev is None:
-                seen[key] = []
-                fresh_i.append(i)
-                fresh_meta.append((pb, i, key, order))
-            elif isinstance(prev, list):
-                prev.append(pb.header(i))
-            elif prev is _UNPLACED:
-                # the reference re-processes duplicates of unplaced
-                # reads and lists each occurrence
-                # (PlacementProcess.java:591-629 only dedups *placed*
-                # reads)
-                notplaced.write(pb.header(i) + "\n")
+        # PlacementProcess.java:591-596 / Fasta.java:34-39); the
+        # digest -> first-order map lives in native code (_make_dedup)
+        if shard is None:
+            sel = np.arange(pb.n, dtype=np.int64)
+        else:
+            g = gidx + np.arange(pb.n, dtype=np.int64)
+            sel = np.flatnonzero(g % shard[1] == shard[0])
+            gidx += pb.n
+        counts["total"] += sel.shape[0]
+        orders_blk = order + np.arange(sel.shape[0], dtype=np.int64)
+        order += sel.shape[0]
+        first = dedup(pb.md5s[sel], orders_blk)
+        dup = np.flatnonzero(first >= 0)
+        for j, fo in zip(sel[dup].tolist(), first[dup].tolist()):
+            # duplicate occurrences (python only for actual dups):
+            # attach to the placed first, re-list unplaced per
+            # occurrence (the reference only dedups *placed* reads,
+            # PlacementProcess.java:591-629), queue while the first's
+            # batch is still in flight
+            st = int(reg.status[fo]) if fo < reg.status.shape[0] \
+                else _IN_FLIGHT
+            if st == _PLACED:
+                b, i = reg.batch_of(fo)
+                JplaceWriter.add_duplicate(b, i, pb.header(j))
+            elif st == _UNPLACED:
+                notplaced.write(pb.header(j) + "\n")
                 counts["unplaced"] += 1
-            elif prev is _FILTERED:
-                pass  # nsbound-filtered reads re-filter silently
-            else:
-                JplaceWriter.add_duplicate(prev[0], prev[1],
-                                           pb.header(i))
-            order += 1
-        for b in batcher.add_block(pb, fresh_i, fresh_meta):
+            elif st == _IN_FLIGHT:
+                reg.pending.setdefault(fo, []).append(pb.header(j))
+            # _FILTERED: nsbound-filtered reads re-filter silently
+        fresh = np.flatnonzero(first < 0)
+        fresh_sel = sel[fresh]
+        metas = [(pb, i, o) for i, o in
+                 zip(fresh_sel.tolist(), orders_blk[fresh].tolist())]
+        for b in batcher.add_block(pb, fresh_sel, metas):
             submit(b)
     for b in batcher.flush():
         submit(b)
