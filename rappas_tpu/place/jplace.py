@@ -244,35 +244,56 @@ class JplaceWriter:
         run_ends = np.append(run_starts[1:], n)
         lines = [None] * len(bl)
         texts = [None] * len(bl)
+        extra_pos = [None] * len(bl)
+
+        def py_line(b, j, ent, p):
+            i = int(b.reads[p])
+            extra = b.extra.get(i)
+            header = b.headers[i]
+            nm = ",".join("[%s,1]" % _json_str(h)
+                          for h in [header] + (extra or []))
+            if ent is not False:
+                rows = ent[2][ent[3][p]:ent[3][p + 1]].decode("ascii")
+            else:
+                if texts[j] is None:
+                    texts[j] = self._batch_row_texts(b)
+                rows = texts[j][p]
+            return ('{"p":[%s],"nm":[%s]}' % (rows, nm)).encode("utf-8")
+
         for s, e in zip(run_starts.tolist(), run_ends.tolist()):
             j = int(bid_s[s])
             b = bl[j]
             if lines[j] is None:
                 lines[j] = self._batch_lines(b) or False
+                if b.extra:
+                    # positions (placement ranks) whose reads carry
+                    # duplicate nm entries -- sliced around below
+                    er = np.flatnonzero(np.isin(
+                        b.reads, np.fromiter(b.extra, np.int64,
+                                             len(b.extra))))
+                    extra_pos[j] = set(er.tolist())
             ent = lines[j]
             p0, p1 = int(pos_s[s]), int(pos_s[e - 1])
-            if ent is not False and not b.extra:
+            if ent is False:
+                for p in range(p0, p1 + 1):
+                    yield py_line(b, j, ent, p)
+                continue
+            ep = extra_pos[j]
+            if not ep:
                 blob, off = ent[0], ent[1]
                 yield blob[off[p0]:off[p1 + 1] - 2]   # strip last ",\n"
                 continue
-            for p in range(p0, p1 + 1):
-                i = int(b.reads[p])
-                extra = b.extra.get(i)
-                if ent is not False and not extra:
-                    yield ent[0][ent[1][p]:ent[1][p + 1] - 2]
+            # slice clean sub-runs, render nm-extra placements in python
+            blob, off = ent[0], ent[1]
+            q0 = p0
+            for p in range(p0, p1 + 2):
+                if p <= p1 and p not in ep:
                     continue
-                header = b.headers[i]
-                nm = ",".join("[%s,1]" % _json_str(h)
-                              for h in [header] + (extra or []))
-                if ent is not False:
-                    rows = ent[2][ent[3][p]:ent[3][p + 1]] \
-                        .decode("ascii")
-                else:
-                    if texts[j] is None:
-                        texts[j] = self._batch_row_texts(b)
-                    rows = texts[j][p]
-                yield ('{"p":[%s],"nm":[%s]}' % (rows, nm)) \
-                    .encode("utf-8")
+                if q0 < p:
+                    yield blob[off[q0]:off[p] - 2]
+                if p <= p1:
+                    yield py_line(b, j, ent, p)
+                q0 = p + 1
 
     # -------------------------------------------------------------- #
     def _fields(self) -> list[str]:
