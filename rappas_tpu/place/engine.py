@@ -79,6 +79,26 @@ class PendingBatch:
                            np.asarray(lwr), np.asarray(nm))
 
 
+class PipelinedBatch:
+    """Handle for a batch riding the postings software pipeline: its
+    device program may not be issued yet (the issue is deferred until
+    the NEXT batch arrives so its compact-table gather can overlap this
+    batch's scoring -- see :func:`finalize_postings_pipelined`).
+    ``result()`` flushes the pipeline tail if needed."""
+
+    def __init__(self, engine, entry):
+        self._engine = engine
+        self._entry = entry
+
+    def result(self) -> BatchResult:
+        e = self._entry
+        if e["out"] is None:
+            self._engine._pp_flush(e)
+        te, ts, lwr, nm = e["out"]
+        return BatchResult(np.asarray(te), np.asarray(ts),
+                           np.asarray(lwr), np.asarray(nm))
+
+
 # ====================================================================== #
 # device kernels (jit)
 # ====================================================================== #
@@ -446,6 +466,58 @@ def finalize_postings_v2(light_parts: tuple, lrows: jax.Array,
         slot_read=slot_read if lowrank else None, sort_keep=sort_keep)
 
 
+def _gather_compact(parts: tuple, uniq) -> jax.Array:
+    """Batch-unique compact table from the split light parts (tuple =
+    part-routed per-part indices; array = single-table indices)."""
+    if isinstance(uniq, tuple):
+        return jnp.concatenate(
+            [p[u] for p, u in zip(parts, uniq)], axis=0)
+    return light_gather(parts, uniq)
+
+
+@jax.jit
+def gather_compact(parts: tuple, uniq) -> jax.Array:
+    """Standalone compact-table gather (pays the full latency; used only
+    to seed the software pipeline's first batch)."""
+    return _gather_compact(parts, uniq)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "keep_at_most", "lowrank",
+                                    "sort_keep"))
+def finalize_postings_pipelined(light_parts: tuple, compact: jax.Array,
+                                lrows: jax.Array, next_uniq,
+                                dense_rows: jax.Array,
+                                dense_reads: jax.Array,
+                                dense_slots: jax.Array,
+                                slot_read: jax.Array,
+                                lengths: jax.Array, thr: jax.Array,
+                                k: int, keep_at_most: int,
+                                lowrank: bool = True,
+                                sort_keep: int | None = None):
+    """One software-pipeline stage: score THIS batch from its
+    pre-gathered compact table AND gather the NEXT batch's compact
+    table in the same program.
+
+    The batch-unique gather is latency-bound (~5-6 ms exposed on a
+    serial dependency chain at k=12/4000 scale, while 10 independent
+    gathers average 1.24 ms each -- docs/PERF.md round 4) and a TPU
+    runs one program at a time, so the only way to hide it is inside
+    the SAME program: XLA schedules the independent next-batch gather
+    under this batch's sort/scan/top-k work (measured 4.92 ms fused vs
+    7.43 ms serial).  Returns ``(result tuple, next_compact)``;
+    ``next_uniq=None`` flushes the tail of the pipeline."""
+    out = finalize_postings_local(
+        None, lrows, dense_rows, dense_reads, lengths, thr,
+        jnp.int32(0), k, keep_at_most, lowrank,
+        light_parts=light_parts, compact_table=compact,
+        dense_slots=dense_slots if lowrank else None,
+        slot_read=slot_read if lowrank else None, sort_keep=sort_keep)
+    if next_uniq is None:
+        return out, None
+    return out, _gather_compact(light_parts, next_uniq)
+
+
 def light_gather(parts: tuple, lrows: jax.Array) -> jax.Array:
     """Row gather from a light table stored as N height-split parts.
 
@@ -484,6 +556,7 @@ def finalize_postings_local(light_pairs: jax.Array, lrows: jax.Array,
                             lowrank: bool = True, *,
                             light_parts: tuple | None = None,
                             uniq_rows: jax.Array | None = None,
+                            compact_table: jax.Array | None = None,
                             dense_slots: jax.Array | None = None,
                             slot_read: jax.Array | None = None,
                             sort_keep: int | None = None):
@@ -572,7 +645,13 @@ def finalize_postings_local(light_pairs: jax.Array, lrows: jax.Array,
         acc_c = jnp.zeros((n_slots + 1, E), jnp.float32).at[
             dense_slots].add(dense_rows)
 
-    if uniq_rows is not None:
+    if compact_table is not None:
+        # software-pipelined path: the batch-unique compact table was
+        # gathered by the PREVIOUS device program (overlapped under its
+        # scoring work -- the unique gather is latency-bound, see
+        # docs/PERF.md round 4); lrows is the inverse map into it
+        g = compact_table[lrows]
+    elif uniq_rows is not None:
         if isinstance(uniq_rows, tuple):
             # part-routed: each unique row fetched from its own part
             # (probe5 V2 -- gathering both parts per row is ~1.7x
@@ -883,6 +962,14 @@ class PlacementEngine:
                 self._rof_np = None       # host searchsorted fallback
             dense, scale = pt.heavy_dense, np.float32(1)
             self.keys_dev = None
+            # software pipelining of the two-stage gather is OFF by
+            # default: measured a net loss on v5e (14.4 vs 12.4
+            # ms/batch at k=12/4000 -- the dense side's scatters
+            # contend with the gather unit, so only the ~2 ms of pure
+            # VPU sort/scan work overlaps; docs/PERF.md round 4).  The
+            # machinery stays (bit-exact, tested) for hardware where
+            # the balance differs: flip with `engine.enable_pipeline()`.
+            self._pp_enabled = False
         else:
             raise ValueError(f"table must be auto/direct/compact/"
                              f"postings, got {table!r}")
@@ -909,6 +996,10 @@ class PlacementEngine:
         #: compact mode with >31-bit k-mer index space: key lookup runs
         #: on host (numpy int64) so the device never needs x64
         self._host_lookup = False
+        #: postings software pipeline (set by the postings init branch;
+        #: ShardedEngine's postings path has its own machinery)
+        self._pp_enabled = False
+        self._pp_tail = None
 
     @classmethod
     def resolve_table(cls, db: PhyloKmerDB, table: str, precision: str,
@@ -1232,6 +1323,25 @@ class PlacementEngine:
                     uniq_dev = self._put_repl(uniq_pad)
                 lrows = inv.reshape(lrows.shape).astype(np.int32)
 
+        if uniq_dev is not None and self._pp_enabled:
+            # software pipeline: defer this batch's program until the
+            # next batch arrives, so its compact-table gather overlaps
+            # this batch's scoring (finalize_postings_pipelined)
+            entry = {
+                "lrows": self._put_batch(lrows), "uniq": uniq_dev,
+                "dense": (dense_rows, dense_reads, dense_slots,
+                          self._put_repl(slot_read)),
+                "lens": lens_dev,
+                "static": dict(k=self.k,
+                               keep_at_most=self.keep_at_most,
+                               lowrank=lowrank, sort_keep=sort_keep),
+                "compact": None, "out": None,
+            }
+            if self._pp_tail is not None:
+                self._pp_issue(self._pp_tail, entry)
+            self._pp_tail = entry
+            return PipelinedBatch(self, entry)
+
         out = finalize_postings_v2(
             self.light_parts, self._put_batch(lrows), uniq_dev,
             dense_rows, dense_reads, dense_slots,
@@ -1240,6 +1350,44 @@ class PlacementEngine:
         for o in out:
             o.copy_to_host_async()
         return PendingBatch(out)
+
+    # ---- postings software pipeline (single-chip two-stage path) ---- #
+
+    def enable_pipeline(self, on: bool = True) -> None:
+        """Opt into cross-batch software pipelining of the two-stage
+        gather (net loss on v5e, see __init__ note; exposed for other
+        hardware balances)."""
+        if on and not (self.table == "postings" and
+                       type(self) is PlacementEngine):
+            raise ValueError("pipelining applies to the single-chip "
+                             "postings engine only")
+        self._pp_enabled = on
+
+    def _pp_issue(self, prev: dict, nxt: dict | None) -> None:
+        """Issue ``prev``'s device program; when ``nxt`` is given its
+        compact table is gathered inside the same program (overlapped
+        under prev's scoring)."""
+        if prev["compact"] is None:
+            # pipeline seed (first batch): standalone gather
+            prev["compact"] = gather_compact(self.light_parts,
+                                             prev["uniq"])
+        dense_rows, dense_reads, dense_slots, slot_read = prev["dense"]
+        out, nxt_compact = finalize_postings_pipelined(
+            self.light_parts, prev["compact"], prev["lrows"],
+            nxt["uniq"] if nxt is not None else None,
+            dense_rows, dense_reads, dense_slots, slot_read,
+            prev["lens"], self.thr, **prev["static"])
+        for o in out:
+            o.copy_to_host_async()
+        prev["out"] = out
+        prev["compact"] = prev["uniq"] = prev["dense"] = None
+        if nxt is not None:
+            nxt["compact"] = nxt_compact
+
+    def _pp_flush(self, entry: dict) -> None:
+        if entry is self._pp_tail:
+            self._pp_tail = None
+            self._pp_issue(entry, None)
 
     def _host_rows(self, kidx: np.ndarray) -> np.ndarray:
         """Encoded row per window: ``r < nl`` light row, ``nl`` miss,

@@ -399,3 +399,33 @@ def test_postings_ambiguous_reads_compact_slots(db):
     reads = [base[:12] + "N" + base[13:], base, "N" * 20,
              base[:5] + "R" + base[6:]]
     compare(db, engine, reads)
+
+
+def test_postings_pipeline_multibatch_bitwise(db, monkeypatch):
+    """The software-pipelined two-stage path (batch i scored in the
+    same program that gathers batch i+1's compact table) must be
+    bit-equal to per-batch scoring, across in-flight batches fetched in
+    order and a flushed tail."""
+    pairs_bytes = (db.postings_tables(8).light_keys.shape[0] + 1) * 64
+    monkeypatch.setattr(PlacementEngine, "LIGHT_SPLIT_BYTES",
+                        pairs_bytes // 3 + 64)
+    e_pipe = PlacementEngine(db, table="postings")
+    e_pipe.enable_pipeline()
+    e_ref = PlacementEngine(db, table="postings")
+    batches = []
+    for seed in (5, 6, 7):
+        reads = random_reads(db, 8, 40, seed=seed)
+        reads += [db.alphabet.kmer_to_string(int(k), db.k) * 5
+                  for k in db.keys[seed:seed + 3]]
+        reads = reads * 2       # unique stage engages
+        batches.append(batch_of(reads))
+    pend = [e_pipe.score_async(m.copy(), l.copy()) for m, l in batches]
+    assert e_pipe._pp_tail is not None      # tail deferred
+    for (m, l), p in zip(batches, pend):
+        r1 = p.result()
+        r2 = e_ref.score(m.copy(), l.copy())
+        assert np.array_equal(r1.top_edges, r2.top_edges)
+        assert np.array_equal(r1.top_scores.view(np.uint32),
+                              r2.top_scores.view(np.uint32))
+        assert np.array_equal(r1.n_matched, r2.n_matched)
+    assert e_pipe._pp_tail is None          # tail was flushed
