@@ -79,6 +79,23 @@ class PendingBatch:
                            np.asarray(lwr), np.asarray(nm))
 
 
+class SplitPending:
+    """Pending result assembled from two half-batches (the two-stage
+    unique-budget overflow fallback splits oversized batches; reads are
+    independent so results just concatenate)."""
+
+    def __init__(self, p1, p2):
+        self._parts = (p1, p2)
+
+    def result(self) -> BatchResult:
+        r1, r2 = (p.result() for p in self._parts)
+        return BatchResult(
+            np.concatenate([r1.top_edges, r2.top_edges]),
+            np.concatenate([r1.top_scores, r2.top_scores]),
+            np.concatenate([r1.top_lwr, r2.top_lwr]),
+            np.concatenate([r1.n_matched, r2.n_matched]))
+
+
 class PipelinedBatch:
     """Handle for a batch riding the postings software pipeline: its
     device program may not be issued yet (the issue is deferred until
@@ -871,6 +888,9 @@ class PlacementEngine:
     #: and serves as a test hook.  Round-3 measurement: U=131k costs
     #: 5.4 ms vs 13+ ms direct at 585k windows.
     TWO_STAGE_MAX_UNIQUE = 1 << 21
+    #: unique-budget overflow splits batches down to this size before
+    #: accepting the slow both-parts+select fallback
+    MIN_SPLIT_B = 1024
 
     def __init__(self, db: PhyloKmerDB, keep_at_most: int = 7,
                  treat_ambiguities: bool = True,
@@ -1283,6 +1303,20 @@ class PlacementEngine:
             compact_ok = (U <= self.TWO_STAGE_MAX_UNIQUE and
                           U * self.light_parts[0].shape[1] * 4 <=
                           self.LIGHT_SPLIT_BYTES)
+            if not compact_ok and nparts > 1 and B >= 2 * self.MIN_SPLIT_B:
+                # too many batch-unique rows for one compact table: the
+                # both-parts+select fallback is a measured perf cliff
+                # (ADVICE r3; probe5: 5.2 ms vs 3.1 part-routed).  Reads
+                # are independent, so halve the batch instead -- each
+                # half's unique set shrinks toward the two-stage budget
+                # (recursion bottoms out at MIN_SPLIT_B and takes the
+                # slow fallback only then)
+                half = B // 2
+                p1 = self._score_postings(codes[:half], matrix[:half],
+                                          lengths[:half])
+                p2 = self._score_postings(codes[half:], matrix[half:],
+                                          lengths[half:])
+                return SplitPending(p1, p2)
             # Payoff conditions differ (probe5, docs/PERF.md round 3):
             # a SPLIT table pays the alternating-parts penalty (~17
             # ns/row vs ~3 lone) on every window, so part-routed

@@ -429,3 +429,31 @@ def test_postings_pipeline_multibatch_bitwise(db, monkeypatch):
                               r2.top_scores.view(np.uint32))
         assert np.array_equal(r1.n_matched, r2.n_matched)
     assert e_pipe._pp_tail is None          # tail was flushed
+
+
+def test_postings_unique_overflow_batch_split(db, monkeypatch):
+    """When the batch-unique set exceeds the compact-table budget the
+    engine halves the batch (SplitPending) instead of taking the slow
+    both-parts+select fallback; results must be bit-equal to the
+    unsplit engine."""
+    e_ref = PlacementEngine(db, table="postings")
+    pairs_bytes = (db.postings_tables(8).light_keys.shape[0] + 1) * 64
+    monkeypatch.setattr(PlacementEngine, "LIGHT_SPLIT_BYTES",
+                        pairs_bytes // 3 + 64)
+    monkeypatch.setattr(PlacementEngine, "TWO_STAGE_MAX_UNIQUE", 6)
+    monkeypatch.setattr(PlacementEngine, "MIN_SPLIT_B", 2)
+    e_split = PlacementEngine(db, table="postings")
+    assert len(e_split.light_parts) >= 2
+    reads = random_reads(db, 12, 40, seed=51)
+    reads += [db.alphabet.kmer_to_string(int(k), db.k) * 5
+              for k in db.keys[:4]]
+    mat, lens = batch_of(reads)
+    from rappas_tpu.place.engine import SplitPending
+    pend = e_split.score_async(mat.copy(), lens.copy())
+    assert isinstance(pend, SplitPending)   # the overflow path engaged
+    r2 = pend.result()
+    r1 = e_ref.score(mat.copy(), lens.copy())
+    assert np.array_equal(r1.top_edges, r2.top_edges)
+    assert np.array_equal(r1.top_scores.view(np.uint32),
+                          r2.top_scores.view(np.uint32))
+    assert np.array_equal(r1.n_matched, r2.n_matched)
