@@ -662,5 +662,19 @@ def main():
     return 0
 
 
+def _main_with_retry():
+    """The tunneled dev chip occasionally drops a run with a transient
+    'TPU backend error (Internal)' (observed round 4); one retry in a
+    fresh attempt keeps the driver's per-round payload from vanishing
+    on a hiccup."""
+    try:
+        return main()
+    except Exception as exc:   # pragma: no cover - environmental
+        print(f"# bench attempt 1 failed ({exc!r:.120}); retrying",
+              file=sys.stderr, flush=True)
+        time.sleep(10)
+        return main()
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(_main_with_retry())
