@@ -341,19 +341,27 @@ class PyBlock:
 
 
 def ingest_blocks(path, block_bytes: int = 8 << 20):
-    """Yield ParsedBlock/PyBlock objects for any supported input."""
+    """Yield ParsedBlock/PyBlock objects for any supported input.
+
+    The native-vs-python decision is probed BEFORE the first block is
+    yielded: falling back mid-stream would restart the file and
+    duplicate reads, so once streaming starts, errors propagate."""
     p = str(path)
     plain_fasta = not (p.endswith(".gz") or
                        (p[:-3] if p.endswith(".gz") else p)
                        .endswith((".fq", ".fastq")))
+    native = None
     if plain_fasta:
         try:
             from rappas_tpu.native import parse_fasta_block
-            for block in read_raw_fasta_blocks(path, block_bytes):
-                yield parse_fasta_block(block)
-            return
+            parse_fasta_block(b">probe\nA\n")   # force the g++ build now
+            native = parse_fasta_block
         except Exception:
-            pass  # toolchain missing: python fallback below
+            native = None    # toolchain missing: python fallback
+    if native is not None:
+        for block in read_raw_fasta_blocks(path, block_bytes):
+            yield native(block)
+        return
     for records in read_record_blocks(path, block_bytes):
         yield PyBlock(records)
 
