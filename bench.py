@@ -254,7 +254,9 @@ def engine_device_rate(engine, mat, lens, n=20):
             acc = accumulate(engine.D, rows) * engine.scale
             return finalize(acc, l_dev, engine.thr, engine.k,
                             engine.keep_at_most)
-    dt = _timed(step, n=n)
+    # best of two measurement windows: the tunneled dev chip drifts
+    # +-10-15% between windows (k12 row measured 569-680k across runs)
+    dt = min(_timed(step, n=n), _timed(step, n=n))
     return mat.shape[0] / dt
 
 
