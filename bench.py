@@ -121,6 +121,13 @@ def _ensure_base_artifact():
         CACHE / "ref_align.fasta", CACHE / "ref.tree",
         CACHE / "work", BuildConfig(ar_binary=PHYML))
     db.save(db_path)
+    # every DERIVED artifact descends from this build: drop them so a
+    # version bump can't mix epochs (stale k!=8 DBs, reads sampled from
+    # an old alignment, warmup slices)
+    for pat in ("bench150_k*.rptpu", "reads1m.fasta",
+                "reads_warm.fasta"):
+        for f in CACHE.glob(pat):
+            f.unlink()
     stamp.write_text(BENCH_DB_VERSION + "\n")
     return True
 

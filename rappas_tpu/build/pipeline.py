@@ -322,7 +322,8 @@ def generate_kmers(ar: ARResults, extended, ext_align, original: Tree,
         labels = [ar.ar_tree.by_id(n).label for n in absent[:3]]
         log(f"{len(absent)} node(s) without AR posteriors skipped "
             f"(not reported by the AR program): {labels}")
-        nodes = [n for n in nodes if n not in set(absent)]
+        absent_set = set(absent)
+        nodes = [n for n in nodes if n not in absent_set]
 
     use_exact = gap_jumps or config.exact_explorer
     gap_intervals = ext_align.gap_intervals() if use_exact else None

@@ -54,7 +54,8 @@ class ShardedEngine(PlacementEngine):
         self._init_params(db, keep_at_most, treat_ambiguities,
                           ambiguities_with_max, "f32")
         table = self.resolve_table(db, table, "f32",
-                                   self.DIRECT_BYTE_LIMIT * self.mp)
+                                   self.DIRECT_BYTE_LIMIT * self.mp,
+                                   postings_width)
         self.table = table
         self.scale = jnp.float32(1)
         if table == "direct":

@@ -902,7 +902,8 @@ class PlacementEngine:
         self._init_params(db, keep_at_most, treat_ambiguities,
                           ambiguities_with_max, precision)
         table = self.resolve_table(db, table, precision,
-                                   self.DIRECT_BYTE_LIMIT)
+                                   self.DIRECT_BYTE_LIMIT,
+                                   postings_width)
         self.table = table
         if table == "direct":
             if precision == "u16":
@@ -1023,7 +1024,8 @@ class PlacementEngine:
 
     @classmethod
     def resolve_table(cls, db: PhyloKmerDB, table: str, precision: str,
-                      direct_byte_limit: int) -> str:
+                      direct_byte_limit: int,
+                      postings_width: int = 8) -> str:
         """'auto' -> the concrete device layout for this DB size (the
         TPU analog of the reference's direct-vs-hashed capacity choice,
         ``CustomHash_v4_FastUtil81.java:49-63``).
@@ -1059,7 +1061,8 @@ class PlacementEngine:
         if dense_bytes <= min(fast_bytes, direct_byte_limit):
             return "direct"
         lens = np.diff(db.offsets)
-        heavy_nnz = int(lens[lens > 8].sum()) if lens.size else 0
+        heavy_nnz = int(lens[lens > postings_width].sum()) \
+            if lens.size else 0
         light_dominated = heavy_nnz * 2 <= max(int(db.nnz), 1)
         if precision != "u16" and light_dominated:
             return "postings"

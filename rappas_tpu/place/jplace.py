@@ -69,13 +69,14 @@ class BatchPlacements:
 class JplaceWriter:
     def __init__(self, tree: Tree, invocation: str,
                  guppy_compatible: bool = False,
-                 keep_factor: float = 0.01,
-                 ns_bound: float = float("-inf")):
+                 keep_factor: float = 0.01):
+        # NOTE: the --nsbound score filter is applied by the pipeline
+        # BEFORE reads reach this writer (place_queries.handle_batch);
+        # the writer only ever sees reads that passed it
         self.tree = tree
         self.invocation = invocation
         self.guppy = guppy_compatible
         self.keep_factor = keep_factor
-        self.ns_bound = ns_bound
         self._batches: list[BatchPlacements] = []
         arr = tree.to_arrays()
         self._jplace_ids = arr.jplace_edge_id

@@ -143,8 +143,7 @@ def place_queries(db: PhyloKmerDB, query_path, workdir,
         precision=config.precision, table=config.table)
     writer = JplaceWriter(db.tree, config.invocation,
                           guppy_compatible=config.guppy_compatible,
-                          keep_factor=config.keep_factor,
-                          ns_bound=config.ns_bound)
+                          keep_factor=config.keep_factor)
     arr = db.arrays
 
     dedup = _make_dedup()

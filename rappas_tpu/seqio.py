@@ -5,15 +5,17 @@ Replaces ``/root/reference/src/inputs/FASTAPointer.java`` /
 ``#``-prefixed and empty lines are skipped like the reference
 (``FASTAPointer.java:83-86``).  Multi-line sequences are concatenated.
 
-The batcher groups reads into fixed-capacity numpy batches (padded to a
-static length bucket) so the JAX placement kernel sees static shapes.
+:class:`IndexBatcher` groups reads into fixed-capacity numpy batches
+(padded to a static length bucket) so the JAX placement kernel sees
+static shapes; :func:`ingest_blocks` feeds it parsed blocks (native C++
+for plain FASTA, :class:`PyBlock` otherwise).
 """
 
 from __future__ import annotations
 
 import gzip
 import hashlib
-from typing import Iterator, Iterable
+from typing import Iterator
 
 import numpy as np
 
@@ -127,155 +129,8 @@ def read_record_blocks(path, block_bytes: int = 8 << 20
             if not chunk:
                 return
             yield [(h, s.encode("ascii")) for h, s in chunk]
-    with open(p, "rb") as f:
-        tail = b""
-        while True:
-            chunk = f.read(block_bytes)
-            if not chunk:
-                if tail.strip():
-                    yield _parse_fasta_block(tail)
-                return
-            data = tail + chunk
-            cut = data.rfind(b"\n>")
-            if cut == -1:
-                tail = data
-                continue
-            tail = data[cut + 1:]
-            block = data[:cut + 1]
-            if block.strip():
-                yield _parse_fasta_block(block)
-
-
-def md5_checksum(seq: str) -> bytes:
-    """Duplicate-read key.
-
-    The reference md5-hashes the sequence with gaps removed
-    (``fasta.getSequence(true)`` strips '-', ``Fasta.java:34-39``;
-    ``PlacementProcess.java:591-596``).  The replace is skipped when no
-    gap is present (the overwhelmingly common case -- it would copy the
-    string twice per read).
-    """
-    if "-" in seq:
-        seq = seq.replace("-", "")
-    return hashlib.md5(seq.encode("ascii")).digest()
-
-
-class ReadBatcher:
-    """Group reads into padded (batch, L) uint8 matrices by length bucket.
-
-    Padding value is ``0xFF``.  Buckets are successive powers-of-two-ish
-    length classes so XLA compiles a handful of kernel shapes, not one per
-    read length.
-    """
-
-    def __init__(self, batch_size: int = 1024,
-                 buckets: tuple[int, ...] = (64, 128, 256, 512, 1024, 4096,
-                                             16384),
-                 pad_batch: bool = True):
-        self.batch_size = batch_size
-        self.buckets = tuple(sorted(buckets))
-        #: pad the final partial batch up to ``batch_size`` rows (padding
-        #: rows have length 0) so XLA compiles one shape per bucket
-        self.pad_batch = pad_batch
-
-    def bucket_for(self, length: int) -> int:
-        for b in self.buckets:
-            if length <= b:
-                return b
-        return int(np.ceil(length / self.buckets[-1])) * self.buckets[-1]
-
-    def batches(self, reads: Iterable[tuple[str, str]]):
-        """Yield (headers, lengths int32[B], matrix uint8[B, L]) batches."""
-        pend: dict[int, list[tuple[str, str]]] = {}
-        for header, seq in reads:
-            b = self.bucket_for(len(seq))
-            lst = pend.setdefault(b, [])
-            lst.append((header, seq))
-            if len(lst) >= self.batch_size:
-                yield self._emit(b, lst)
-                pend[b] = []
-        for b, lst in sorted(pend.items()):
-            if lst:
-                yield self._emit(b, lst)
-
-    def _emit(self, bucket: int, items: list[tuple[str, str]]):
-        n = self.batch_size if self.pad_batch else len(items)
-        mat = np.full((n, bucket), 0xFF, np.uint8)
-        lens = np.zeros(n, np.int32)
-        headers = []
-        for i, (h, s) in enumerate(items):
-            raw = np.frombuffer(s.encode("ascii"), np.uint8)
-            mat[i, :len(raw)] = raw
-            lens[i] = len(raw)
-            headers.append(h)
-        return headers, lens, mat
-
-
-class BlockBatcher:
-    """Length-bucketed batcher over byte-sequence records with a
-    vectorized matrix build -- the production replacement for
-    :class:`ReadBatcher`'s per-read loop.
-
-    ``add(meta, seq)`` buffers one record and returns a completed
-    (metas, lengths, matrix) batch when its bucket fills; ``flush()``
-    drains the partial buckets.  ``meta`` is opaque to the batcher.
-    """
-
-    def __init__(self, batch_size: int = 1024,
-                 buckets: tuple[int, ...] = (64, 128, 256, 512, 1024,
-                                             4096, 16384),
-                 pad_batch: bool = True):
-        self.batch_size = batch_size
-        self.buckets = tuple(sorted(buckets))
-        self.pad_batch = pad_batch
-        self._pend: dict[int, tuple[list, list]] = {}
-        # direct length -> bucket table for the per-read hot path
-        tab = []
-        for b in self.buckets:
-            tab.extend([b] * (b + 1 - len(tab)))
-        self._bucket_tab = tab
-
-    def bucket_for(self, length: int) -> int:
-        if length < len(self._bucket_tab):
-            return self._bucket_tab[length]
-        return int(np.ceil(length / self.buckets[-1])) * self.buckets[-1]
-
-    def add(self, meta, seq: bytes):
-        tab = self._bucket_tab
-        n = len(seq)
-        b = tab[n] if n < len(tab) else self.bucket_for(n)
-        entry = self._pend.get(b)
-        if entry is None:
-            entry = self._pend[b] = ([], [])
-        metas, seqs = entry
-        metas.append(meta)
-        seqs.append(seq)
-        if len(metas) >= self.batch_size:
-            self._pend[b] = ([], [])
-            return self._emit(b, metas, seqs)
-        return None
-
-    def flush(self):
-        for b, (metas, seqs) in sorted(self._pend.items()):
-            if metas:
-                yield self._emit(b, metas, seqs)
-        self._pend.clear()
-
-    def _emit(self, bucket: int, metas: list, seqs: list[bytes]):
-        n = self.batch_size if self.pad_batch else len(metas)
-        lens = np.fromiter(map(len, seqs), np.int32, len(seqs))
-        mat = np.full((n, bucket), 0xFF, np.uint8)
-        L = int(lens[0])
-        if (lens == L).all():
-            # uniform length (the typical case): one join + reshape
-            flat = np.frombuffer(b"".join(seqs), np.uint8)
-            mat[:len(seqs), :L] = flat.reshape(len(seqs), L)
-        else:
-            for i, s in enumerate(seqs):
-                mat[i, :len(s)] = np.frombuffer(s, np.uint8)
-        out_lens = np.zeros(n, np.int32)
-        out_lens[:len(seqs)] = lens
-        return metas, out_lens, mat
+    for block in read_raw_fasta_blocks(path, block_bytes):
+        yield _parse_fasta_block(block)
 
 
 # ------------------------------------------------------------------ #
