@@ -381,14 +381,16 @@ def bench_k12_multigb(payload):
     from rappas_tpu.place.engine import PlacementEngine
 
     cached = Path("/tmp/rappas_scale_db/DB_k12.rptpu")
-    if not cached.exists():
-        # ~3 min host build (72M postings); skip in cold driver runs
-        # where the wall budget is tight -- scripts/round4_probe.py D
-        # builds and caches it
-        payload["k12_multigb_note"] = "DB not cached; run " \
-            "scripts/round4_probe.py D first"
-        return
-    db = PhyloKmerDB.load(cached)
+    if cached.exists():
+        db = PhyloKmerDB.load(cached)
+    else:
+        # cold environment: build-and-cache the 72M-posting artifact
+        # through the production generate_kmers path (~3 min once per
+        # machine) so the config-3 row never silently vanishes
+        # (VERDICT r4 item 6)
+        t0 = time.time()
+        db = _script_module("build_scale").build_multigb_db(cached)
+        payload["k12_multigb_build_s"] = round(time.time() - t0)
     eng = PlacementEngine(db, table="auto")
     parts = [p.shape[0] for p in eng.light_parts]
     dev_b = (sum(p.nbytes for p in eng.light_parts) + eng.D.nbytes +
@@ -633,28 +635,56 @@ def main():
     }
 
     if srcs is not None:
-        # PEWO-style accuracy from the SAME timed outputs: node distance
-        # between the single best edge and the true source leaf edge,
-        # over the 10k leaf-sampled reads (entries 0..9999 of the
-        # drained chunk are exactly reads 0..9999).  NOTE: this is the
-        # unweighted best-edge distance, not PEWO's LWR-weighted
-        # expected node distance (ADVICE r3) -- see eND_note.
+        # PEWO accuracy from the SAME timed outputs (entries 0..9999 of
+        # the drained chunk are exactly reads 0..9999): mean_eND is
+        # PEWO's LWR-weighted *expected* node distance over the kept
+        # placements (keep-factor cut like the jplace writer,
+        # PlacementProcess.java:996-1000), with the unweighted best-edge
+        # distance kept as a secondary field (VERDICT r4 item 5).  LWRs
+        # are reconstructed host-side from the wire-format scores, the
+        # same arithmetic the CLI applies.
         n = srcs.shape[0]
         parent = db.arrays.parent
         placed = nm[:n] > 0
+        dcache: dict = {}
+
+        def nd(a, b):
+            v = dcache.get((a, b))
+            if v is None:
+                v = dcache[(a, b)] = node_distance(parent, a, b)
+            return v
+
         if placed.any():
-            dists = np.array([
-                node_distance(parent, int(te[i, 0]), int(srcs[i]))
-                for i in range(n) if placed[i]])
-            payload["mean_eND"] = round(float(dists.mean()), 4)
+            te_n, ts_n = te[:n], ts[:n]
+            valid = te_n >= 0
+            w = np.where(valid,
+                         np.power(10.0, ts_n - ts_n[:, :1]), 0.0)
+            lwr = w / np.maximum(w.sum(axis=1, keepdims=True), 1e-30)
+            keep = valid.copy()
+            keep[:, 1:] &= lwr[:, 1:] >= lwr[:, :1] * 0.01
+            keep = np.logical_and.accumulate(keep, axis=1)
+            idxs = np.flatnonzero(placed)
+            wend = np.empty(idxs.size)
+            bend = np.empty(idxs.size, np.int64)
+            for j, i in enumerate(idxs.tolist()):
+                ke = te_n[i][keep[i]]
+                kl = lwr[i][keep[i]]
+                ds = np.array([nd(int(e), int(srcs[i])) for e in ke])
+                wend[j] = float((ds * kl).sum() / max(kl.sum(), 1e-30))
+                bend[j] = ds[0]
+            payload["mean_eND"] = round(float(wend.mean()), 4)
+            payload["best_edge_eND"] = round(float(bend.mean()), 4)
             payload["pct_within_2_edges"] = round(
-                float((dists <= 2).mean() * 100), 2)
+                float((bend <= 2).mean() * 100), 2)
         else:
             payload["mean_eND"] = None
+            payload["best_edge_eND"] = None
             payload["pct_within_2_edges"] = None
         payload["pct_placed"] = round(float(placed.mean() * 100), 2)
-        payload["eND_note"] = ("node distance of the best edge "
-                               "(unweighted, not LWR-weighted)")
+        payload["eND_note"] = (
+            "mean_eND = LWR-weighted expected node distance over kept "
+            "placements (PEWO criterion); best_edge_eND = unweighted "
+            "best-edge distance (pct_within_2_edges uses it)")
 
     # ---- the remaining BASELINE configs (driver-visible rows) ------ #
     for name, fn in (("cli_e2e", bench_cli_e2e),

@@ -81,6 +81,10 @@ class BuildConfig:
     #: fold U->C and O->L in amino alignments (--convertUO,
     #: AAStates.java:118-123)
     convert_uo: bool = False
+    #: ``--dbinram``: keep the DB in RAM only -- the reference's flag
+    #: places immediately and skips writing DB files entirely
+    #: (``Main_DBBUILD_3.java:873-986``)
+    save_db: bool = True
 
 
 def build_database(ref_align_path, ref_tree_path, workdir,
@@ -220,6 +224,13 @@ def build_database(ref_align_path, ref_tree_path, workdir,
         "extended_tree_newick": write_newick(extended, True, True, False,
                                              False),
     })
+    if not config.save_db:
+        # --dbinram: the reference keeps the DB in RAM, places
+        # immediately and never writes DB files (Main_DBBUILD_3.java:
+        # 873-986); match that contract exactly
+        log(f"DB built in RAM (--dbinram, not persisted): {db.n_kmers} "
+            f"kmers, {db.nnz} postings, {time.time() - t0:.1f}s total")
+        return db
     name = config.db_filename or f"DB_k{config.k}_o{config.omega}.rptpu"
     if not name.endswith(".rptpu"):
         name += ".rptpu"

@@ -77,7 +77,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--threads", type=int, default=1,
                    help="threads forwarded to RAxML-ng")
     p.add_argument("--dbinram", action="store_true",
-                   help="build then place without persisting the DB")
+                   help="build the DB in RAM and place immediately, "
+                        "skipping DB file persistence entirely "
+                        "(reference contract, Main_DBBUILD_3.java:"
+                        "873-986)")
     p.add_argument("--convertUO", action="store_true")
     # reference-compat flags accepted for drop-in CLI parity; behavior
     # documented per flag (ArgumentsParser_v2.java:407-420,421-424,471-474)
@@ -198,7 +201,8 @@ def run_build(args, call_string: str) -> int:
         limit_to_1_jump=not args.do_n_jumps,
         gap_jump_threshold=args.gap_jumps_thresh,
         only_ar=args.aronly, only_ar_input=args.arinputonly,
-        db_filename=args.dbfilename, convert_uo=args.convertUO)
+        db_filename=args.dbfilename, convert_uo=args.convertUO,
+        save_db=not args.dbinram)
     db = build_database(args.refalign, args.reftree, args.workdir, cfg)
     if db is None:
         return 0
@@ -206,11 +210,14 @@ def run_build(args, call_string: str) -> int:
         from rappas_tpu.build.calibration import calibrate
         bound = calibrate(db)
         log(f"calibrated noise score bound: {bound}")
-        # re-save with the calibration in the header
-        name = args.dbfilename or f"DB_k{args.k}_o{args.omega}.rptpu"
-        if not name.endswith(".rptpu"):
-            name += ".rptpu"
-        db.save(Path(args.workdir) / name)
+        if not args.dbinram:
+            # re-save with the calibration in the header (--dbinram
+            # keeps the bound in the in-RAM db.meta for the placement
+            # below and never writes DB files)
+            name = args.dbfilename or f"DB_k{args.k}_o{args.omega}.rptpu"
+            if not name.endswith(".rptpu"):
+                name += ".rptpu"
+            db.save(Path(args.workdir) / name)
     if args.jsondb:
         import json
         dump = Path(args.workdir) / "DB.json"

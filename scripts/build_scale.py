@@ -57,6 +57,47 @@ def synth_posteriors(extended, n_sites, rng, uncertain_frac=0.08):
     return probas, ghost_ids
 
 
+def build_multigb_db(cache=Path("/tmp/rappas_scale_db/DB_k12.rptpu")):
+    """Build (or load) the BASELINE config-3 artifact: a multi-GB k=12
+    DB (100 taxa x 500 sites -> 72.4M postings, 16.3M k-mers) through
+    the production ``generate_kmers`` path.  ~3 min cold on the 2-core
+    dev host; cached on disk afterwards.  Shared by bench.py's config-3
+    row and scripts/round4_probe.py D."""
+    import simulate
+    from rappas_tpu.alignment import Alignment
+    from rappas_tpu.alphabet import DNA
+    from rappas_tpu.ar.results import ARResults
+    from rappas_tpu.build.pipeline import BuildConfig, generate_kmers
+    from rappas_tpu.db import PhyloKmerDB
+    from rappas_tpu.extend import extend_tree
+    from rappas_tpu.tree import parse_newick
+
+    cache = Path(cache)
+    if cache.exists():
+        return PhyloKmerDB.load(cache)
+    rng = np.random.default_rng(7)
+    taxa, sites = 100, 500
+    nwk = simulate.random_tree(taxa, rng)
+    original = parse_newick(nwk)
+    original.reset_jplace_edge_ids()
+    extended = extend_tree(original, n_ghosts=1)
+    seqs = {n.label: rng.integers(0, 4, sites)
+            for n in original.leaves}
+    align = Alignment.from_records(
+        DNA, [(lb, simulate.BASES[s].tobytes().decode())
+              for lb, s in sorted(seqs.items())])
+    ext_align = align.add_gap_rows(
+        [n.label for n in extended.fake_leaves])
+    probas, _ = synth_posteriors(extended, sites, rng)
+    ar = ARResults(ar_tree=extended, probas=probas,
+                   ar_to_extended={n.id: n.id for n in extended.nodes})
+    db = generate_kmers(ar, extended, ext_align, original, DNA,
+                        BuildConfig(k=12, omega=1.5), gap_jumps=False)
+    cache.parent.mkdir(parents=True, exist_ok=True)
+    db.save(cache)
+    return db
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--taxa", type=int, default=1000)

@@ -304,46 +304,13 @@ def probe_c():
 
 def probe_d():
     print("== D: config 3, multi-GB k=12 light table ==", flush=True)
-    from build_scale import synth_posteriors
-
-    import simulate
-    from rappas_tpu.alignment import Alignment
-    from rappas_tpu.alphabet import DNA
-    from rappas_tpu.ar.results import ARResults
-    from rappas_tpu.build.pipeline import BuildConfig, generate_kmers
-    from rappas_tpu.db import PhyloKmerDB
-    from rappas_tpu.extend import extend_tree
     from rappas_tpu.place.engine import PlacementEngine
-    from rappas_tpu.tree import parse_newick
 
-    cache = Path("/tmp/rappas_scale_db/DB_k12.rptpu")
-    if cache.exists():
-        db = PhyloKmerDB.load(cache)
-    else:
-        rng = np.random.default_rng(7)
-        taxa, sites = 100, 500
-        nwk = simulate.random_tree(taxa, rng)
-        original = parse_newick(nwk)
-        original.reset_jplace_edge_ids()
-        extended = extend_tree(original, n_ghosts=1)
-        seqs = {n.label: rng.integers(0, 4, sites)
-                for n in original.leaves}
-        align = Alignment.from_records(
-            DNA, [(lb, simulate.BASES[s].tobytes().decode())
-                  for lb, s in sorted(seqs.items())])
-        ext_align = align.add_gap_rows(
-            [n.label for n in extended.fake_leaves])
-        probas, ghosts = synth_posteriors(extended, sites, rng)
-        ar = ARResults(ar_tree=extended, probas=probas,
-                       ar_to_extended={n.id: n.id
-                                       for n in extended.nodes})
-        cfg = BuildConfig(k=12, omega=1.5)
-        t0 = time.time()
-        db = generate_kmers(ar, extended, ext_align, original, DNA, cfg,
-                            gap_jumps=False)
+    from build_scale import build_multigb_db
+    t0 = time.time()
+    db = build_multigb_db()
+    if time.time() - t0 > 5:
         print(f"built k=12 DB in {time.time() - t0:.0f}s", flush=True)
-        cache.parent.mkdir(parents=True, exist_ok=True)
-        db.save(cache)
     print(f"DB: {db.n_kmers} kmers, {db.nnz} postings, "
           f"E={db.n_edge_slots}", flush=True)
 

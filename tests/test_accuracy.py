@@ -74,12 +74,28 @@ def test_pewo_style_expected_node_distance(tmp_path):
     res = engine.score(mat, lens)
 
     dists = []
+    wdists = []
     for i in range(len(reads)):
         assert res.n_matched[i] > 0, f"read {i} unplaced"
         dists.append(node_distance(arr, int(res.top_edges[i][0]),
                                    srcs[i]))
+        # PEWO's actual criterion: LWR-weighted expected node distance
+        # over the kept placements (keep-factor cut like the jplace
+        # writer, PlacementProcess.java:996-1000)
+        edges = res.top_edges[i]
+        lwr = res.top_lwr[i]
+        keep = edges >= 0
+        keep[1:] &= lwr[1:] >= lwr[0] * 0.01
+        keep = np.logical_and.accumulate(keep)
+        nd = np.array([node_distance(arr, int(e), srcs[i])
+                       for e in edges[keep]])
+        w = lwr[keep]
+        wdists.append(float((nd * w).sum() / w.sum()))
     dists = np.asarray(dists)
-    assert dists.mean() <= 0.5, f"mean eND {dists.mean():.3f}"
+    wdists = np.asarray(wdists)
+    assert dists.mean() <= 0.5, f"mean best-edge ND {dists.mean():.3f}"
+    assert wdists.mean() <= 0.5, \
+        f"mean LWR-weighted eND {wdists.mean():.3f}"
     assert (dists <= 2).mean() >= 0.95, \
         f"within-2 rate {(dists <= 2).mean():.3f}"
 

@@ -64,7 +64,9 @@ def test_build_jsondb_and_place(tmp_path, fixtures_dir):
 
 @pytest.mark.slow
 def test_dbinram(tmp_path, fixtures_dir):
-    """--dbinram builds then places in one invocation."""
+    """--dbinram builds then places in one invocation WITHOUT writing
+    any DB file (the reference's contract: place from RAM and skip DB
+    persistence entirely, Main_DBBUILD_3.java:873-986)."""
     rc = main(["-p", "b", "-b", PHYML,
                "-r", str(fixtures_dir / "tiny.fasta"),
                "-t", str(fixtures_dir / "tiny.tree"),
@@ -74,6 +76,8 @@ def test_dbinram(tmp_path, fixtures_dir):
     assert rc == 0
     assert (tmp_path /
             "placements_tiny_reads.fasta.jplace").exists()
+    assert not list(tmp_path.rglob("*.rptpu")), \
+        "--dbinram must not persist the DB"
 
 
 def test_reference_compat_flags_accepted(tmp_path, fixtures_dir):
