@@ -209,20 +209,24 @@ def _timed(fn, *args, n=20):
 
 
 def _capture_postings_step(engine, codes_np, mat, lens):
+    """Capture the postings device-step call (either the two-stage or
+    the round-5 routed entry point) with its concrete arguments."""
     import rappas_tpu.place.engine as eng
+    names = ("finalize_postings_v2", "finalize_postings_routed")
+    origs = {nm: getattr(eng, nm) for nm in names}
     calls = []
-    orig = eng.finalize_postings_v2
-
-    def cap(*a, **kw):
-        calls.append((a, kw))
-        return orig(*a, **kw)
-
-    eng.finalize_postings_v2 = cap
     try:
+        for nm in names:
+            def cap(*a, _orig=origs[nm], **kw):
+                calls.append((_orig, a, kw))
+                return _orig(*a, **kw)
+            setattr(eng, nm, cap)
         engine._score_postings(codes_np, mat, lens).result()
     finally:
-        eng.finalize_postings_v2 = orig
-    return calls[-1], orig
+        for nm in names:
+            setattr(eng, nm, origs[nm])
+    orig, a, kw = calls[-1]
+    return (a, kw), orig
 
 
 def engine_device_rate(engine, mat, lens, n=20):
@@ -232,7 +236,8 @@ def engine_device_rate(engine, mat, lens, n=20):
 
     from rappas_tpu.place.engine import (accumulate, compact_rows,
                                          finalize, kmer_indices64,
-                                         kmer_rows, searchsorted_rows)
+                                         kmer_rows, routed_accumulate,
+                                         searchsorted_rows)
     codes = engine.encode_batch(mat)
     if engine.table == "postings":
         (args, kw), orig = _capture_postings_step(engine, codes, mat,
@@ -240,6 +245,21 @@ def engine_device_rate(engine, mat, lens, n=20):
 
         def step():
             return orig(*args, **kw)
+    elif engine.table == "direct" and engine.direct_parts is not None:
+        # round-5 height-split direct table: windows pre-routed on host
+        # (overlapped with device work in the production pipeline), the
+        # timed step is the per-part fast-zone gathers + finalize
+        kidx = engine._host_kmer_indices(codes, lens)
+        rows = np.where(kidx >= 0, kidx,
+                        kidx.dtype.type(engine.n_rows - 1))
+        routed = tuple(jnp.asarray(r) for r in engine._route_direct(rows))
+        l_dev = jnp.asarray(lens)
+
+        def step():
+            acc = routed_accumulate(engine.direct_parts,
+                                    routed) * engine.scale
+            return finalize(acc, l_dev, engine.thr, engine.k,
+                            engine.keep_at_most)
     else:
         rows_h = None
         if engine.table != "direct" and engine._host_lookup:

@@ -84,8 +84,54 @@ def _jp_lib() -> ctypes.CDLL:
         lib.jp_format_lines.argtypes = [
             c.c_char_p, c.c_void_p, c.c_char_p, c.c_void_p,
             c.c_longlong, c.c_void_p, c.c_longlong, c.c_void_p]
+        lib.jp_format_tsv.restype = c.c_longlong
+        lib.jp_format_tsv.argtypes = [
+            c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,
+            c.c_longlong, c.c_char_p, c.c_void_p,
+            c.c_void_p, c.c_longlong]
         lib._jp_configured = True
     return lib
+
+
+def gather_ranges(buf: np.ndarray, starts: np.ndarray,
+                  ends: np.ndarray):
+    """Concatenate ``buf[starts[i]:ends[i]]`` slices, fully vectorized.
+
+    Returns ``(blob uint8[total], off int64[n+1])``.  The workhorse of
+    the array-level header plumbing (round 5): batches carry header
+    BYTES + offsets instead of per-read python strings."""
+    lens = (ends - starts).astype(np.int64)
+    off = np.zeros(lens.shape[0] + 1, np.int64)
+    np.cumsum(lens, out=off[1:])
+    tot = int(off[-1])
+    pos = np.repeat(starts.astype(np.int64) - off[:-1], lens) + \
+        np.arange(tot, dtype=np.int64)
+    return buf[pos], off
+
+
+def format_tsv_rows(hdr_blob: np.ndarray, hdr_off: np.ndarray,
+                    best: np.ndarray, scores: np.ndarray,
+                    lbl_buf: bytes, lbl_off: np.ndarray) -> bytes:
+    """Format a batch's TSV report lines in one native call (qname =
+    header up to the first space; ``lbl_buf``/``lbl_off`` index node
+    labels by id).  Trailing newline included per line."""
+    lib = _jp_lib()
+    n = hdr_off.shape[0] - 1
+    hdr_blob = np.ascontiguousarray(hdr_blob, np.uint8)
+    hdr_off = np.ascontiguousarray(hdr_off, np.int64)
+    best = np.ascontiguousarray(best, np.int32)
+    scores = np.ascontiguousarray(scores, np.float32)
+    lbl_off = np.ascontiguousarray(lbl_off, np.int32)
+    cap = int(hdr_blob.shape[0]) + 96 * max(n, 1) + len(lbl_buf)
+    while True:
+        buf = ctypes.create_string_buffer(cap)
+        written = lib.jp_format_tsv(
+            hdr_blob.ctypes.data, hdr_off.ctypes.data,
+            best.ctypes.data, scores.ctypes.data, n,
+            lbl_buf, lbl_off.ctypes.data, buf, cap)
+        if written >= 0:
+            return buf.raw[:written]
+        cap *= 2
 
 
 def format_placement_lines(rows_blob: bytes, rows_off: np.ndarray,

@@ -134,4 +134,41 @@ long long jp_format_lines(const char* rows_buf, const long long* rows_off,
     return p - out;
 }
 
+// Per-placed-read TSV report lines (logs/placements_<query>.tsv,
+// PlacementProcess.java:937-962 default-DB branch):
+//   <qname>\t\t\t\t\t<best>\t<label>\t<score>\n
+// qname = header up to the first ' '; labels come as a node-id-indexed
+// blob.  The --original-nodes resolution branch stays in python (rare
+// DBs).  Returns bytes written or -1 if out is too small (caller grows).
+long long jp_format_tsv(const unsigned char* hdr_buf,
+                        const long long* hdr_off,
+                        const int32_t* best, const float* scores,
+                        long long n,
+                        const char* lbl_buf, const int32_t* lbl_off,
+                        char* out, long long cap) {
+    char* p = out;
+    char* lim = out + cap;
+    for (long long i = 0; i < n; i++) {
+        const char* h = (const char*)hdr_buf + hdr_off[i];
+        long long hlen = hdr_off[i + 1] - hdr_off[i];
+        const char* sp = (const char*)std::memchr(h, ' ', hlen);
+        long long qlen = sp ? sp - h : hlen;
+        int32_t b = best[i];
+        int32_t llen = lbl_off[b + 1] - lbl_off[b];
+        if (p + qlen + llen + 64 > lim) return -1;
+        std::memcpy(p, h, qlen);
+        p += qlen;
+        std::memcpy(p, "\t\t\t\t\t", 5);
+        p += 5;
+        p = std::to_chars(p, p + 12, b).ptr;
+        *p++ = '\t';
+        std::memcpy(p, lbl_buf + lbl_off[b], llen);
+        p += llen;
+        *p++ = '\t';
+        p = put_f64(p, (double)scores[i]);
+        *p++ = '\n';
+    }
+    return p - out;
+}
+
 }  // extern "C"

@@ -535,6 +535,51 @@ def finalize_postings_pipelined(light_parts: tuple, compact: jax.Array,
     return out, _gather_compact(light_parts, next_uniq)
 
 
+def routed_light_gather(parts: tuple, routed: tuple) -> jax.Array:
+    """[B, sum(W_p), 2P] window gather with per-part routing: the host
+    sorted each read's hit windows by owning part (``routed[p]`` holds
+    part-LOCAL row indices, pad slots >= H_p), so every part is touched
+    by exactly ONE independent gather -- no dependent unique stage, no
+    alternating-parts select (round-5 replacement for the two-stage
+    gather whose serial gather->re-gather dependency exposed ~5-6 ms of
+    latency per batch, docs/PERF.md round 4).  The downstream edge sort
+    is order-agnostic, so windows never need re-ordering to read
+    positions; pad slots are rewritten to the sentinel edge / zero
+    delta and sort to the tail exactly like table pads."""
+    gs = []
+    for p, r in zip(parts, routed):
+        H = p.shape[0]
+        g = p[jnp.minimum(r, H - 1)]
+        P = g.shape[-1] // 2
+        pad = (r >= H)[..., None]
+        e = jnp.where(pad, LIGHT_PAD_EDGE, g[..., :P])
+        d = jnp.where(pad, 0, g[..., P:])
+        gs.append(jnp.concatenate([e, d], axis=-1))
+    return jnp.concatenate(gs, axis=1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "keep_at_most", "lowrank",
+                                    "sort_keep"))
+def finalize_postings_routed(light_parts: tuple, routed: tuple,
+                             dense_rows: jax.Array,
+                             dense_reads: jax.Array,
+                             dense_slots: jax.Array,
+                             slot_read: jax.Array,
+                             lengths: jax.Array, thr: jax.Array,
+                             k: int, keep_at_most: int,
+                             lowrank: bool = True,
+                             sort_keep: int | None = None):
+    """Postings scoring from part-routed window gathers (see
+    :func:`routed_light_gather`)."""
+    return finalize_postings_local(
+        None, None, dense_rows, dense_reads, lengths, thr,
+        jnp.int32(0), k, keep_at_most, lowrank,
+        light_parts=light_parts, routed_lrows=routed,
+        dense_slots=dense_slots if lowrank else None,
+        slot_read=slot_read if lowrank else None, sort_keep=sort_keep)
+
+
 def light_gather(parts: tuple, lrows: jax.Array) -> jax.Array:
     """Row gather from a light table stored as N height-split parts.
 
@@ -574,6 +619,7 @@ def finalize_postings_local(light_pairs: jax.Array, lrows: jax.Array,
                             light_parts: tuple | None = None,
                             uniq_rows: jax.Array | None = None,
                             compact_table: jax.Array | None = None,
+                            routed_lrows: tuple | None = None,
                             dense_slots: jax.Array | None = None,
                             slot_read: jax.Array | None = None,
                             sort_keep: int | None = None):
@@ -647,7 +693,7 @@ def finalize_postings_local(light_pairs: jax.Array, lrows: jax.Array,
       Requires ``lowrank=True`` (callers fall back to the dense
       accumulator when sources are not rare).
     """
-    B, Q = lrows.shape
+    B = (routed_lrows[0] if routed_lrows is not None else lrows).shape[0]
     parts = light_parts if light_parts is not None else (light_pairs,)
     P = parts[0].shape[1] // 2
     E = dense_rows.shape[1]          # local width W under sharding
@@ -662,7 +708,11 @@ def finalize_postings_local(light_pairs: jax.Array, lrows: jax.Array,
         acc_c = jnp.zeros((n_slots + 1, E), jnp.float32).at[
             dense_slots].add(dense_rows)
 
-    if compact_table is not None:
+    if routed_lrows is not None:
+        # round-5 part-routed window gathers: one independent gather
+        # per part, no dependent stages (routed_light_gather)
+        g = routed_light_gather(parts, routed_lrows)
+    elif compact_table is not None:
         # software-pipelined path: the batch-unique compact table was
         # gathered by the PREVIOUS device program (overlapped under its
         # scoring work -- the unique gather is latency-bound, see
@@ -680,9 +730,10 @@ def finalize_postings_local(light_pairs: jax.Array, lrows: jax.Array,
         g = compact[lrows]            # lrows = inverse map, fast table
     else:
         g = light_gather(parts, lrows)               # [B, Q, 2P]
-    e = g[:, :, :P].reshape(B, Q * P)
+    W_all = g.shape[1]        # == Q except on the routed path (sum W_p)
+    e = g[:, :, :P].reshape(B, W_all * P)
     d = jax.lax.bitcast_convert_type(
-        g[:, :, P:], jnp.float32).reshape(B, Q * P)
+        g[:, :, P:], jnp.float32).reshape(B, W_all * P)
     e_s, d_s = jax.lax.sort((e, d), num_keys=1)
     # Pad slots carry the LIGHT_PAD_EDGE sentinel, so the sort moves
     # every pad to the tail of its row (round 4).  Two consequences:
@@ -791,6 +842,41 @@ def alt_delta_rows(D: jax.Array, scale: jax.Array,
 
 
 @jax.jit
+def routed_accumulate(parts: tuple, routed: tuple) -> jax.Array:
+    """[B, E] accumulator from a height-split direct table: one
+    independent :func:`accumulate` per part over its host-routed
+    windows, partial accumulators summed.  Every part stays in the
+    gather unit's fast zone (docs/PERF.md round 5); per-read summation
+    order becomes part-major (scores within f32-reordering tolerance
+    of the unsplit table, candidate membership exact -- sums of
+    positive deltas stay positive in any order)."""
+    acc = None
+    for p, r in zip(parts, routed):
+        a = accumulate(p, r)
+        acc = a if acc is None else acc + a
+    return acc
+
+
+@jax.jit
+def alt_delta_rows_split(parts: tuple, scale: jax.Array,
+                         alt_rows: jax.Array) -> jax.Array:
+    """[n_alt, E] f32 delta rows from a height-split direct table
+    (ambiguity alternatives are FEW, so the full select chain over
+    parts is fine).  ``alt_rows`` are global body-row indices; each
+    part carries one trailing all-zero row, and the global miss row
+    (== total body height) clips to the last part's zero row."""
+    out = None
+    off = 0
+    for p in parts:
+        H = p.shape[0] - 1            # effective (body) height
+        g = p[jnp.clip(alt_rows - off, 0, H)]
+        out = g if out is None else \
+            jnp.where((alt_rows >= off)[:, None], g, out)
+        off += H
+    return out.astype(jnp.float32) * scale
+
+
+@jax.jit
 def alt_delta_rows_postings(light_parts: tuple,
                             heavy_dense: jax.Array, alt_lrows: jax.Array,
                             alt_hrows: jax.Array) -> jax.Array:
@@ -891,6 +977,20 @@ class PlacementEngine:
     #: unique-budget overflow splits batches down to this size before
     #: accepting the slow both-parts+select fallback
     MIN_SPLIT_B = 1024
+    #: dense direct tables above this size would be height-split into
+    #: LIGHT_SPLIT_BYTES parts with host-routed windows.  DEFAULT OFF
+    #: (1<<62): measured a clear LOSS on v5e (round-5 probe B, real
+    #: k=10 1.26 GB table, B=8192: 252k reads/s at 19x64MB parts vs
+    #: 383k unsplit -- per-read-per-part padding costs a binomial-max
+    #: factor of ~3.2x more gathers than the 2.5x rate gap between the
+    #: slow zone's flat ~15-18 ns/row and the sub-88MB fast rate, plus
+    #: ~340 ms/batch of host routing).  The machinery ships tested
+    #: (tests/test_engine.py::test_direct_split_matches_unsplit) for
+    #: hardware with a steeper fast/slow gap; see docs/PERF.md round 5.
+    DIRECT_SPLIT_MIN = 1 << 62
+    #: direct-split part cap (beyond ~64 parts the routing pad overhead
+    #: dominates; such tables exceed single-chip HBM anyway)
+    MAX_DIRECT_PARTS = 64
 
     def __init__(self, db: PhyloKmerDB, keep_at_most: int = 7,
                  treat_ambiguities: bool = True,
@@ -911,6 +1011,7 @@ class PlacementEngine:
             else:
                 dense, scale = db.dense_matrix(pad_rows=1), np.float32(1)
             self.keys_dev = None
+            self._init_direct_split(dense, device)
         elif table == "compact":
             if precision == "u16":
                 dense, scale = db.compact_matrix_u16(pad_rows=1)
@@ -968,6 +1069,16 @@ class PlacementEngine:
                 self._light_slow = False   # every part VMEM-stageable
             else:
                 self.light_parts = (jax.device_put(pairs, device),)
+            # round-5 default: split light tables route windows to
+            # their parts (one independent fast-zone gather per part)
+            # instead of the two-stage unique gather -- measured equal
+            # at 2 parts (672k vs 669k, k=12/4000) and +8% at 10 parts
+            # (82k vs 76k, multi-GB), while deleting the per-batch host
+            # torch-unique + inverse mapping (docs/PERF.md round 5).
+            # enable_routed_windows(False) restores two-stage (whose
+            # scores are bitwise-equal to the unsplit table).
+            self._routed_windows = (type(self) is PlacementEngine and
+                                    len(self.light_parts) > 1)
             space = self.alphabet.n_states ** self.k
             if space * 4 <= self.DIRECT_INDEX_LIMIT:
                 # direct k-mer -> encoded-row table (host side): one
@@ -996,7 +1107,10 @@ class PlacementEngine:
                              f"postings, got {table!r}")
         self.scale = jnp.float32(scale)
         self.n_rows = dense.shape[0]
-        self.D = jax.device_put(dense, device)
+        # split direct tables live only as parts (keeping the full table
+        # too would double HBM)
+        self.D = (jax.device_put(dense, device)
+                  if self.direct_parts is None else None)
         self._init_host_codec()
 
     # -------------------------------------------------------------- #
@@ -1021,6 +1135,13 @@ class PlacementEngine:
         #: ShardedEngine's postings path has its own machinery)
         self._pp_enabled = False
         self._pp_tail = None
+        #: part-routed window gathers for split light tables (round 5);
+        #: flipped by measurement via enable_routed_windows / auto rule
+        self._routed_windows = False
+        #: height-split direct table (round 5, slow-zone dense tables;
+        #: set by _init_direct_split, None = unsplit)
+        self.direct_parts = None
+        self._direct_cuts = None
 
     @classmethod
     def resolve_table(cls, db: PhyloKmerDB, table: str, precision: str,
@@ -1143,6 +1264,8 @@ class PlacementEngine:
             return self._score_postings(codes, matrix, lengths)
         amb = (self._expand_ambiguities(codes, matrix, lengths)
                if self.treat_ambiguities else None)
+        if self.direct_parts is not None:
+            return self._score_direct_split(codes, lengths, amb)
         # pure-ACGT fast path (direct table): ship 2-bit packed reads --
         # 4x less H2D traffic and the exact pipeline bench.py times.
         # Valid only when no in-length position is ambiguous or invalid
@@ -1295,6 +1418,33 @@ class PlacementEngine:
                 sort_keep = cand
                 break
 
+        if self._routed_windows and len(self.light_parts) > 1:
+            # round-5 part-routed window gathers: each hit window is
+            # packed (host-side) into its owning part's [B, W_p] matrix,
+            # so the device runs one INDEPENDENT fast-zone gather per
+            # part -- the dependent unique-gather -> re-gather chain of
+            # the two-stage path (and its ~5-6 ms exposed latency,
+            # docs/PERF.md round 4) disappears; the edge sort downstream
+            # is order-agnostic so windows never return to read order.
+            routed_np = self._route_windows(lrows)
+            full_w = sum(r.shape[1] for r in routed_np) * \
+                self.light_parts[0].shape[1] // 2
+            sort_keep = None
+            for cand in (8, 16, 32, 64, 96, 128, 192, 256, 384, 512,
+                         768, 1024):
+                if cand >= p_max and cand <= full_w - 64:
+                    sort_keep = cand
+                    break
+            routed = tuple(self._put_batch(r) for r in routed_np)
+            out = finalize_postings_routed(
+                self.light_parts, routed, dense_rows, dense_reads,
+                dense_slots, self._put_repl(slot_read), lens_dev,
+                self.thr, self.k, self.keep_at_most, lowrank,
+                sort_keep=sort_keep)
+            for o in out:
+                o.copy_to_host_async()
+            return PendingBatch(out)
+
         uniq_dev = None
         if self._light_slow or len(self.light_parts) > 1:
             uniq, inv = _fast_unique_inverse(lrows.ravel())
@@ -1399,6 +1549,10 @@ class PlacementEngine:
             raise ValueError("pipelining applies to the single-chip "
                              "postings engine only")
         self._pp_enabled = on
+        if on:
+            # pipelining rides the two-stage path; routed windows
+            # would bypass it
+            self._routed_windows = False
 
     def _pp_issue(self, prev: dict, nxt: dict | None) -> None:
         """Issue ``prev``'s device program; when ``nxt`` is given its
@@ -1425,6 +1579,112 @@ class PlacementEngine:
         if entry is self._pp_tail:
             self._pp_tail = None
             self._pp_issue(entry, None)
+
+    def _init_direct_split(self, dense: np.ndarray, device) -> None:
+        """Height-split a slow-zone dense direct table into fast-zone
+        parts (round 5, BASELINE config 2).
+
+        Dense tables past ~192 MB fall off the gather unit's ~5-7
+        ns/row fast rate to ~23 ns/row (docs/PERF.md rounds 2/4: the
+        1.26 GB k=10 table measured 23.4 ns/row).  Splitting into
+        LIGHT_SPLIT_BYTES parts and routing each read's windows to
+        their owning part (host-side stable left-pack, one independent
+        :func:`accumulate` per part) keeps every gather in the fast
+        zone -- the same machinery that carried the postings light
+        table, applied to the dense matrix the round-4 auto rule
+        selects for heavy-dominated DBs.  Each part carries one
+        trailing all-zero row as its pad/miss target.
+        """
+        if type(self) is not PlacementEngine:
+            return        # mesh engines shard the table instead
+        n_parts = int(-(-dense.nbytes // self.LIGHT_SPLIT_BYTES))
+        if (dense.nbytes <= self.DIRECT_SPLIT_MIN or n_parts < 2 or
+                n_parts > self.MAX_DIRECT_PARTS or
+                dense.shape[0] - 1 < n_parts):
+            return
+        body = dense[:-1]              # global miss row dropped; each
+        zero = np.zeros((1, dense.shape[1]), dense.dtype)  # part pads
+        cuts = np.linspace(0, body.shape[0], n_parts + 1, dtype=np.int64)
+        self.direct_parts = tuple(
+            jax.device_put(np.concatenate([body[lo:hi], zero]), device)
+            for lo, hi in zip(cuts[:-1], cuts[1:]))
+        self._direct_cuts = cuts
+
+    def _route_direct(self, rows: np.ndarray) -> list[np.ndarray]:
+        """Per-part [B, W] part-LOCAL window matrices for the split
+        direct table: hit windows stable-left-packed per part, pads ->
+        the part's trailing zero row, miss windows (global miss row)
+        dropped.  One SHARED bucketed width per batch keeps the compile
+        variant count on a single ladder."""
+        cuts = self._direct_cuts
+        B = rows.shape[0]
+        n = len(cuts) - 1
+        masks = [(rows >= cuts[p]) & (rows < cuts[p + 1])
+                 for p in range(n)]
+        w_max = max((int(m.sum(axis=1).max()) if m.size else 0)
+                    for m in masks)
+        W = _bucket_size(max(w_max, 1))
+        outs = []
+        for p, m in enumerate(masks):
+            H = int(cuts[p + 1] - cuts[p])    # local zero row index
+            out = np.full((B, W), H, np.int32)
+            bb, qq = np.nonzero(m)
+            if bb.size:
+                pos = (np.cumsum(m, axis=1) - 1)[bb, qq]
+                out[bb, pos] = rows[bb, qq] - cuts[p]
+            outs.append(out)
+        return outs
+
+    def _score_direct_split(self, codes: np.ndarray, lengths: np.ndarray,
+                            amb) -> "PendingBatch":
+        """Direct-mode scoring over the height-split table: host k-mer
+        indexing + window routing, one independent fast-zone gather per
+        part on device."""
+        kidx = self._host_kmer_indices(codes, lengths)
+        rows = np.where(kidx >= 0, kidx,
+                        kidx.dtype.type(self.n_rows - 1))
+        routed = tuple(self._put_batch(r)
+                       for r in self._route_direct(rows))
+        lens_dev = self._put_batch(lengths)
+        acc = routed_accumulate(self.direct_parts, routed) * self.scale
+        if amb is not None:
+            acc = self._apply_ambiguities(amb, acc)
+        out = finalize(acc, lens_dev, self.thr, self.k,
+                       self.keep_at_most)
+        for o in out:
+            o.copy_to_host_async()
+        return PendingBatch(out)
+
+    def enable_routed_windows(self, on: bool = True) -> None:
+        """Toggle part-routed window gathers on split light tables
+        (default ON for multi-part single-chip engines; ``False``
+        restores the two-stage unique gather, whose scores are bitwise
+        equal to the unsplit table; see :func:`routed_light_gather`)."""
+        if on and self.table != "postings":
+            raise ValueError("routed windows apply to postings mode")
+        self._routed_windows = on
+
+    def _route_windows(self, lrows: np.ndarray) -> list[np.ndarray]:
+        """Per-part [B, W_p] part-LOCAL window row matrices for the
+        routed gather: hit windows stable-left-packed per part; pad
+        slots hold H_p (>= part height -> rewritten to sentinel on
+        device); global miss rows (== nl) are dropped entirely."""
+        heights = [p.shape[0] for p in self.light_parts]
+        cuts = np.concatenate([[0], np.cumsum(heights)])
+        nl = self._nl
+        B = lrows.shape[0]
+        outs = []
+        for p, H in enumerate(heights):
+            m = (lrows >= cuts[p]) & (lrows < cuts[p + 1]) & (lrows != nl)
+            cnt = m.sum(axis=1)
+            W = _bucket_size(max(int(cnt.max()) if cnt.size else 0, 1))
+            out = np.full((B, W), H, np.int32)
+            bb, qq = np.nonzero(m)
+            if bb.size:
+                pos = (np.cumsum(m, axis=1) - 1)[bb, qq]
+                out[bb, pos] = lrows[bb, qq] - cuts[p]
+            outs.append(out)
+        return outs
 
     def _host_rows(self, kidx: np.ndarray) -> np.ndarray:
         """Encoded row per window: ``r < nl`` light row, ``nl`` miss,
@@ -1643,6 +1903,10 @@ class PlacementEngine:
     def _apply_ambiguities(self, amb, acc):
         """Dense modes: add window contributions into the accumulator."""
         rows_spec, alt_win, win_read, win_inv_w, is_mean = amb
-        rows_f = alt_delta_rows(self.D, self.scale, rows_spec[0])
+        if self.direct_parts is not None:
+            rows_f = alt_delta_rows_split(self.direct_parts, self.scale,
+                                          rows_spec[0])
+        else:
+            rows_f = alt_delta_rows(self.D, self.scale, rows_spec[0])
         return ambiguous_pass(rows_f, alt_win, win_read, win_inv_w,
                               is_mean, acc)

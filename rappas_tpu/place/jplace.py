@@ -54,16 +54,28 @@ class BatchPlacements:
     ``orders[j]`` its global first-occurrence rank (used to restore the
     reference's serial output order, batches complete out of order).
     ``extra[i]`` holds duplicate-read sub-headers attached to read ``i``.
-    """
-    __slots__ = ("pre", "headers", "reads", "orders", "extra")
+    Headers live as one utf-8 byte blob + offsets (round 5: no per-read
+    python strings on the hot path; only reads that hit an output edge
+    case ever decode)."""
+    __slots__ = ("pre", "hdr_blob", "hdr_off", "reads", "orders",
+                 "extra", "lines")
 
-    def __init__(self, pre: dict, headers: list, reads: np.ndarray,
+    def __init__(self, pre: dict, hdr_blob: np.ndarray,
+                 hdr_off: np.ndarray, reads: np.ndarray,
                  orders: np.ndarray):
         self.pre = pre
-        self.headers = headers
+        self.hdr_blob = hdr_blob
+        self.hdr_off = hdr_off
         self.reads = reads
         self.orders = orders
         self.extra: dict[int, list[str]] = {}
+        #: eagerly-formatted native line blob (set by the writer's
+        #: background formatter; None = format at write time)
+        self.lines = None
+
+    def header(self, i: int) -> str:
+        return self.hdr_blob[self.hdr_off[i]:self.hdr_off[i + 1]] \
+            .tobytes().decode("utf-8", "replace")
 
 
 class JplaceWriter:
@@ -120,15 +132,18 @@ class JplaceWriter:
         return {"node": safe, "scores": res.top_scores, "lwr": lwr,
                 "n_keep": n_keep}
 
-    def add_batch(self, headers: list, pre: dict, reads: np.ndarray,
+    def add_batch(self, hdr_blob: np.ndarray, hdr_off: np.ndarray,
+                  pre: dict, reads: np.ndarray,
                   orders: np.ndarray) -> BatchPlacements:
         """Register one scored batch's placed reads.
 
         ``reads``: in-batch indices of reads that placed (and passed
         --nsbound); ``orders``: their global first-occurrence ranks;
-        ``headers[i]`` the full header of in-batch read ``i``.
+        ``hdr_blob``/``hdr_off``: the batch's full headers as one utf-8
+        byte blob + int64 offsets (read ``i``'s header is
+        ``hdr_blob[hdr_off[i]:hdr_off[i+1]]``).
         """
-        b = BatchPlacements(pre, headers,
+        b = BatchPlacements(pre, hdr_blob, hdr_off,
                             np.asarray(reads, np.int64),
                             np.asarray(orders, np.int64))
         self._batches.append(b)
@@ -208,14 +223,12 @@ class JplaceWriter:
         if nat is None:
             return None
         rows_blob, rows_off = nat
-        hs = [h.encode("utf-8") for h in
-              (b.headers[i] for i in b.reads.tolist())]
-        hdr_off = np.zeros(len(hs) + 1, np.int64)
-        np.cumsum(np.fromiter(map(len, hs), np.int64, len(hs)),
-                  out=hdr_off[1:])
-        from rappas_tpu.native import format_placement_lines
+        from rappas_tpu.native import (format_placement_lines,
+                                       gather_ranges)
+        hb, hdr_off = gather_ranges(b.hdr_blob, b.hdr_off[b.reads],
+                                    b.hdr_off[b.reads + 1])
         blob, off = format_placement_lines(rows_blob, rows_off,
-                                           b"".join(hs), hdr_off)
+                                           hb.tobytes(), hdr_off)
         return blob, off, rows_blob, rows_off
 
     def _ordered_chunks(self):
@@ -250,7 +263,7 @@ class JplaceWriter:
         def py_line(b, j, ent, p):
             i = int(b.reads[p])
             extra = b.extra.get(i)
-            header = b.headers[i]
+            header = b.header(i)
             nm = ",".join("[%s,1]" % _json_str(h)
                           for h in [header] + (extra or []))
             if ent is not False:
@@ -265,7 +278,13 @@ class JplaceWriter:
             j = int(bid_s[s])
             b = bl[j]
             if lines[j] is None:
-                lines[j] = self._batch_lines(b) or False
+                # prefer the eagerly-formatted blob (background
+                # formatter thread, pipeline round 5); extras added
+                # after formatting stay correct -- their placements are
+                # re-rendered from the rows blob via py_line, the blob
+                # is only sliced around them
+                lines[j] = (b.lines if b.lines is not None
+                            else self._batch_lines(b)) or False
                 if b.extra:
                     # positions (placement ranks) whose reads carry
                     # duplicate nm entries -- sliced around below

@@ -127,6 +127,32 @@ class PlacementConfig:
     read_shard: tuple | None = None
 
 
+def _headers_blob(refs):
+    """Concatenated utf-8 header bytes + int64 offsets for one batch's
+    reads (``refs`` = list of (block, index-array) chunks in batch row
+    order).  Native blocks take the vectorized range gather; PyBlock
+    (FASTQ/gz/no-toolchain) encodes its python strings."""
+    from rappas_tpu.native import gather_ranges
+    blobs = []
+    offs = [np.zeros(1, np.int64)]
+    base = 0
+    for pb, idx in refs:
+        if hasattr(pb, "hdr_buf"):
+            b, o = gather_ranges(pb.hdr_buf, pb.hdr_off[idx],
+                                 pb.hdr_off[idx + 1])
+        else:
+            hs = [pb.header(int(i)).encode("utf-8") for i in idx]
+            b = np.frombuffer(b"".join(hs), np.uint8)
+            o = np.zeros(len(hs) + 1, np.int64)
+            np.cumsum(np.fromiter(map(len, hs), np.int64, len(hs)),
+                      out=o[1:])
+        blobs.append(b)
+        offs.append(o[1:] + base)
+        base += int(o[-1])
+    return (blobs[0] if len(blobs) == 1 else np.concatenate(blobs),
+            np.concatenate(offs))
+
+
 def place_queries(db: PhyloKmerDB, query_path, workdir,
                   config: PlacementConfig | None = None,
                   engine: PlacementEngine | None = None) -> Path:
@@ -154,12 +180,19 @@ def place_queries(db: PhyloKmerDB, query_path, workdir,
 
     suffix = ("" if config.read_shard is None
               else f".part{config.read_shard[0]}")
-    tsv = open(logs / f"placements_{qname}.tsv{suffix}", "w") \
+    tsv = open(logs / f"placements_{qname}.tsv{suffix}", "wb") \
         if config.write_tsv else None
     if tsv:
-        tsv.write("Query\tARTree_NodeId\tARTree_NodeName\t"
-                  "ExtendedTree_NodeId\tExtendedTree_NodeName\t"
-                  "Original_NodeId\tOriginal_NodeName\tPP*\n")
+        tsv.write(b"Query\tARTree_NodeId\tARTree_NodeName\t"
+                  b"ExtendedTree_NodeId\tExtendedTree_NodeName\t"
+                  b"Original_NodeId\tOriginal_NodeName\tPP*\n")
+    # node-id-indexed label blob for the native TSV formatter
+    _lbl = [s.encode("utf-8") for s in arr.labels]
+    lbl_buf = b"".join(_lbl)
+    lbl_off = np.zeros(len(_lbl) + 1, np.int64)
+    np.cumsum(np.fromiter(map(len, _lbl), np.int64, len(_lbl)),
+              out=lbl_off[1:])
+    lbl_off = lbl_off.astype(np.int32)
     # --original-nodes DBs: the best edge resolves to an adjacent ghost
     # whose AR/extended mapping fills the TSV columns
     # (PlacementProcess.java:856-962; precomputed at build, see
@@ -178,10 +211,13 @@ def place_queries(db: PhyloKmerDB, query_path, workdir,
 
     def handle_batch(meta, in_flight_batch):
         """Fold one completed batch into the writer -- array work per
-        BATCH.  ``meta`` rows are ``(block, record_idx,
-        arrival_order)``."""
+        BATCH.  ``meta`` is ``(refs, orders)``: header bytes stay in
+        one blob (round 5), python strings materialize only for reads
+        on an output edge case (unplaced, queued duplicates, the rare
+        --original-nodes TSV branch)."""
+        refs, orders = meta
         res = in_flight_batch.result()
-        n = len(meta)
+        n = orders.shape[0]
         counts["unique"] += n
         pre = writer.precompute_batch(res)
         placed = pre["n_keep"][:n] > 0
@@ -189,11 +225,17 @@ def place_queries(db: PhyloKmerDB, query_path, workdir,
         if config.ns_bound > float("-inf"):
             filtered = placed & (res.top_scores[:n, 0] < config.ns_bound)
             placed &= ~filtered
-        headers = [m[0].header(m[1]) for m in meta]
-        orders = np.fromiter((m[2] for m in meta), np.int64, n)
+        hdr_blob, hdr_off = _headers_blob(refs)
         reads = np.flatnonzero(placed)
-        batch = writer.add_batch(headers, pre, reads, orders[reads])
+        batch = writer.add_batch(hdr_blob, hdr_off, pre, reads,
+                                 orders[reads])
         reg.register(batch, orders, placed, filtered)
+        fmt_q.put(batch)       # eager line formatting (thread)
+
+        def hdr(i):
+            return hdr_blob[hdr_off[i]:hdr_off[i + 1]].tobytes() \
+                .decode("utf-8", "replace")
+
         unplaced_lines = []
         # duplicates queued while this batch was in flight (rare):
         # resolve BEFORE listing unplaced so a first occurrence and its
@@ -204,51 +246,115 @@ def place_queries(db: PhyloKmerDB, query_path, workdir,
             for o in [o for o in reg.pending if o in oset]:
                 pending_here[o] = reg.pending.pop(o)
         if not placed.all() or pending_here:
-            placed_l = placed.tolist()
-            filtered_l = filtered.tolist()
-            for i, o in enumerate(orders.tolist()):
+            # touch only reads that need python: unplaced ones and
+            # those with queued duplicates
+            interesting = ~placed
+            if pending_here:
+                interesting = interesting | np.isin(
+                    orders, np.fromiter(pending_here, np.int64,
+                                        len(pending_here)))
+            for i in np.flatnonzero(interesting).tolist():
+                o = int(orders[i])
                 dups = pending_here.get(o)
-                if placed_l[i]:
+                if placed[i]:
                     for dup_header in dups or ():
                         JplaceWriter.add_duplicate(batch, i, dup_header)
-                elif not filtered_l[i]:
-                    unplaced_lines.append(headers[i])
+                elif not filtered[i]:
+                    unplaced_lines.append(hdr(i))
                     unplaced_lines.extend(dups or ())
         if unplaced_lines:
             counts["unplaced"] += len(unplaced_lines)
             notplaced.write("\n".join(unplaced_lines) + "\n")
         if tsv and reads.size:
-            best_l = res.top_edges[reads, 0].tolist()
-            score_l = res.top_scores[reads, 0].tolist()
+            best = res.top_edges[reads, 0]
+            score0 = res.top_scores[reads, 0]
+            if resolution is None:
+                # default DBs: one native call formats the whole batch
+                from rappas_tpu.native import (format_tsv_rows,
+                                               gather_ranges)
+                try:
+                    hb, ho = gather_ranges(hdr_blob, hdr_off[reads],
+                                           hdr_off[reads + 1])
+                    tsv.write(format_tsv_rows(hb, ho, best, score0,
+                                              lbl_buf, lbl_off))
+                    return
+                except Exception:
+                    pass       # toolchain missing: python fallback
             lines = []
-            for i, best, score in zip(reads.tolist(), best_l, score_l):
-                q = headers[i].split(" ")[0]
-                r = resolution.get(str(best)) if resolution else None
+            for i, b, score in zip(reads.tolist(), best.tolist(),
+                                   score0.tolist()):
+                q = hdr(i).split(" ")[0]
+                r = resolution.get(str(b)) if resolution else None
                 if r is not None:
                     ar_id, ar_lbl, ext_id, ext_lbl, orig = r
                     lines.append(f"{q}\t{ar_id}\t{ar_lbl}\t{ext_id}\t"
                                  f"{ext_lbl}\t{orig}\t"
                                  f"{arr.labels[orig]}\t{score}")
                 else:
-                    lines.append(f"{q}\t\t\t\t\t{best}\t"
-                                 f"{arr.labels[best]}\t{score}")
-            tsv.write("\n".join(lines) + "\n")
+                    lines.append(f"{q}\t\t\t\t\t{b}\t"
+                                 f"{arr.labels[b]}\t{score}")
+            tsv.write(("\n".join(lines) + "\n").encode("utf-8"))
 
     # keep a few batches in flight: device compute and both transfer
     # directions overlap with the host-side jplace assembly
     in_flight: list = []
 
     def submit(batch):
-        meta, lens, mat = batch
-        in_flight.append((meta, engine.score_async(mat, lens)))
+        refs, orders, lens, mat = batch
+        in_flight.append(((refs, orders), engine.score_async(mat, lens)))
         if len(in_flight) > 3:
             handle_batch(*in_flight.pop(0))
+
+    # round-5 host pipelining across cores: a reader thread runs file
+    # IO + native block parse + md5 (ctypes releases the GIL), and a
+    # formatter thread renders each completed batch's jplace line blob
+    # eagerly (native formatting, also GIL-free) so the final write is
+    # mostly sequential file IO.  Dedup and state registration stay in
+    # the main thread, in arrival order -- the ordering contract is
+    # untouched.
+    import queue
+    import threading
+    blocks_q: "queue.Queue" = queue.Queue(maxsize=4)
+
+    def _reader():
+        try:
+            for blk in ingest_blocks(query_path):
+                blocks_q.put(blk)
+            blocks_q.put(None)
+        except BaseException as e:   # propagate into the main thread
+            blocks_q.put(e)
+
+    fmt_q: "queue.Queue" = queue.Queue()
+
+    def _formatter():
+        while True:
+            b = fmt_q.get()
+            if b is None:
+                return
+            try:
+                b.lines = writer._batch_lines(b) or False
+            except Exception:
+                b.lines = None       # format at write time instead
+
+    reader = threading.Thread(target=_reader, daemon=True)
+    reader.start()
+    formatter = threading.Thread(target=_formatter, daemon=True)
+    formatter.start()
+
+    def iter_blocks():
+        while True:
+            blk = blocks_q.get()
+            if blk is None:
+                return
+            if isinstance(blk, BaseException):
+                raise blk
+            yield blk
 
     shard = config.read_shard
     gidx = 0       # index over the whole file (round-robin host shard,
     #                rappas_tpu.parallel.distributed.shard_reads)
     order = 0      # arrival rank within this shard (output ordering)
-    for pb in ingest_blocks(query_path):
+    for pb in iter_blocks():
         # md5 keys come pre-computed per block (gap-stripped sequence,
         # PlacementProcess.java:591-596 / Fasta.java:34-39); the
         # digest -> first-order map lives in native code (_make_dedup)
@@ -281,15 +387,15 @@ def place_queries(db: PhyloKmerDB, query_path, workdir,
                 reg.pending.setdefault(fo, []).append(pb.header(j))
             # _FILTERED: nsbound-filtered reads re-filter silently
         fresh = np.flatnonzero(first < 0)
-        fresh_sel = sel[fresh]
-        metas = [(pb, i, o) for i, o in
-                 zip(fresh_sel.tolist(), orders_blk[fresh].tolist())]
-        for b in batcher.add_block(pb, fresh_sel, metas):
+        for b in batcher.add_block(pb, sel[fresh], orders_blk[fresh]):
             submit(b)
     for b in batcher.flush():
         submit(b)
     for item in in_flight:
         handle_batch(*item)
+    reader.join()
+    fmt_q.put(None)
+    formatter.join()
 
     if tsv:
         tsv.close()

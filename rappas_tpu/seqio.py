@@ -145,12 +145,18 @@ def read_record_blocks(path, block_bytes: int = 8 << 20
 def read_raw_fasta_blocks(path, block_bytes: int = 8 << 20
                           ) -> Iterator[bytes]:
     """Raw byte blocks of complete FASTA records (cut at '\\n>')."""
+    def nonblank(b):
+        # bytes.strip() copies the whole multi-MB block just to test
+        # emptiness (~60 ms/block measured); isspace() returns at the
+        # first non-space byte
+        return b and not b.isspace()
+
     with open(str(path), "rb") as f:
         tail = b""
         while True:
             chunk = f.read(block_bytes)
             if not chunk:
-                if tail.strip():
+                if nonblank(tail):
                     yield tail
                 return
             data = tail + chunk
@@ -160,7 +166,7 @@ def read_raw_fasta_blocks(path, block_bytes: int = 8 << 20
                 continue
             tail = data[cut + 1:]
             block = data[:cut + 1]
-            if block.strip():
+            if nonblank(block):
                 yield block
 
 
@@ -224,11 +230,15 @@ def ingest_blocks(path, block_bytes: int = 8 << 20):
 class IndexBatcher:
     """Length-bucketed batcher over (block, record-index) pairs.
 
-    ``add_block(pb, idxs, metas)`` ingests one parsed block's fresh
+    ``add_block(pb, idxs, orders)`` ingests one parsed block's fresh
     reads at a time (numpy bucketing, native matrix fill) and returns
-    any completed (metas, lengths, matrix) batches; ``flush()`` drains
-    partial buckets.  Matrices are padded to ``batch_size`` rows when
-    ``pad_batch`` (static shapes for the engine), pad cells 0xFF."""
+    any completed ``(refs, orders, lengths, matrix)`` batches, where
+    ``refs`` is a list of ``(block, index-array)`` chunks in batch row
+    order and ``orders`` the int64 arrival ranks -- fully array-level,
+    no per-read python objects (round 5; the old interface carried one
+    meta tuple per read).  ``flush()`` drains partial buckets.
+    Matrices are padded to ``batch_size`` rows when ``pad_batch``
+    (static shapes for the engine), pad cells 0xFF."""
 
     def __init__(self, batch_size: int = 1024,
                  buckets: tuple[int, ...] = (64, 128, 256, 512, 1024,
@@ -241,14 +251,15 @@ class IndexBatcher:
         for b in self.buckets:
             tab.extend([b] * (b + 1 - len(tab)))
         self._tab = np.asarray(tab, np.int64)
-        #: bucket -> ([(pb, idx-array), ...], [meta, ...])
-        self._pend: dict[int, tuple[list, list]] = {}
+        #: bucket -> [[(pb, idx-array), ...], [order-array, ...], count]
+        self._pend: dict[int, list] = {}
 
-    def add_block(self, pb, idxs, metas):
+    def add_block(self, pb, idxs, orders):
         out = []
         if not len(idxs):
             return out
         ia = np.asarray(idxs, np.int64)
+        oa = np.asarray(orders, np.int64)
         lens = pb.lens[ia]
         top = self.buckets[-1]
         b = np.where(lens < self._tab.shape[0],
@@ -264,35 +275,43 @@ class IndexBatcher:
             sel = srt[s:e]
             entry = self._pend.get(bucket)
             if entry is None:
-                entry = self._pend[bucket] = ([], [])
-            chunks, mlist = entry
-            chunks.append((pb, ia[sel]))
-            mlist.extend(metas[j] for j in sel.tolist())
-            while len(mlist) >= self.batch_size:
+                entry = self._pend[bucket] = [[], [], 0]
+            entry[0].append((pb, ia[sel]))
+            entry[1].append(oa[sel])
+            entry[2] += sel.shape[0]
+            while entry[2] >= self.batch_size:
                 out.append(self._emit(bucket, full_only=True))
         return out
 
     def flush(self):
         for bucket in sorted(self._pend):
-            if self._pend[bucket][1]:
+            if self._pend[bucket][2]:
                 yield self._emit(bucket, full_only=False)
         self._pend.clear()
 
     def _emit(self, bucket: int, full_only: bool):
-        chunks, mlist = self._pend[bucket]
-        take = self.batch_size if full_only else len(mlist)
-        metas = mlist[:take]
-        del mlist[:take]
+        entry = self._pend[bucket]
+        chunks, olist, count = entry
+        take = self.batch_size if full_only else count
+        entry[2] = count - take
+        refs = []
+        ords = []
         mats = []
         lens_parts = []
         left = take
         while left:
             pb, idx = chunks[0]
+            o = olist[0]
             if idx.shape[0] <= left:
                 chunks.pop(0)
+                olist.pop(0)
             else:
                 chunks[0] = (pb, idx[left:])
+                olist[0] = o[left:]
                 idx = idx[:left]
+                o = o[:left]
+            refs.append((pb, idx))
+            ords.append(o)
             mats.append(pb.fill_matrix(idx, bucket))
             lens_parts.append(pb.lens[idx])
             left -= idx.shape[0]
@@ -301,4 +320,5 @@ class IndexBatcher:
         mat[:take] = mats[0] if len(mats) == 1 else np.vstack(mats)
         out_lens = np.zeros(n, np.int32)
         out_lens[:take] = np.concatenate(lens_parts)
-        return metas, out_lens, mat
+        orders = ords[0] if len(ords) == 1 else np.concatenate(ords)
+        return refs, orders, out_lens, mat

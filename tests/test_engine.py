@@ -241,3 +241,37 @@ def test_lwr_normalized(db, engine):
         assert np.isclose(w.sum(), 1.0, atol=1e-5)
         assert (np.diff(res.top_scores[i][res.top_edges[i] >= 0]) <=
                 1e-6).all()
+
+
+def test_direct_split_matches_unsplit(db, monkeypatch):
+    """Height-split direct table (round 5, slow-zone dense tables,
+    forced tiny here): candidate sets, counts and edge order match the
+    unsplit direct engine; scores agree within f32 reordering tolerance
+    (part-major summation order by design); oracle-correct including
+    ambiguity reads (their alternatives ride the per-part select
+    gather)."""
+    e_ref = PlacementEngine(db, table="direct")
+    dense_bytes = db.dense_matrix(pad_rows=1).nbytes
+    monkeypatch.setattr(PlacementEngine, "DIRECT_SPLIT_MIN", 1024)
+    monkeypatch.setattr(PlacementEngine, "LIGHT_SPLIT_BYTES",
+                        dense_bytes // 4 + 64)
+    e_split = PlacementEngine(db, table="direct")
+    assert e_split.direct_parts is not None
+    assert len(e_split.direct_parts) >= 4
+    assert e_split.D is None
+    rng = np.random.default_rng(61)
+    reads = ["".join(rng.choice(list("ACGT"), 40)) for _ in range(24)]
+    reads += [db.alphabet.kmer_to_string(int(k), db.k) * 6
+              for k in db.keys[:4]]
+    mat, lens = batch_of(reads)
+    r1 = e_ref.score(mat.copy(), lens.copy())
+    r2 = e_split.score(mat.copy(), lens.copy())
+    assert np.array_equal(r1.top_edges, r2.top_edges)
+    assert np.array_equal(r1.n_matched, r2.n_matched)
+    np.testing.assert_allclose(r2.top_scores, r1.top_scores,
+                               rtol=0, atol=2e-4)
+    amb = ["".join(rng.choice(list("ACGT"), 30)) for _ in range(4)]
+    amb = [r[:7] + "N" + r[8:] for r in amb]
+    compare(db, e_split,
+            ["".join(rng.choice(list("ACGT"), 30)) for _ in range(8)]
+            + amb)

@@ -83,19 +83,27 @@ def test_index_batcher_round_trip():
     recs = _records(333, seed=7, dashes=False)
     pb = PyBlock(recs)
     bat = IndexBatcher(batch_size=64)
-    metas_in = [(pb, i) for i in range(pb.n)]
-    batches = bat.add_block(pb, list(range(pb.n)), metas_in)
+    orders_in = np.arange(pb.n, dtype=np.int64)
+    batches = bat.add_block(pb, list(range(pb.n)), orders_in)
     batches += list(bat.flush())
     total = 0
-    for metas, lens, mat in batches:
+    seen_orders = []
+    for refs, orders, lens, mat in batches:
         assert mat.shape[0] == 64          # pad_batch static shape
-        for r, (blk, i) in enumerate(metas):
-            s = blk.sequence(i)
-            assert lens[r] == len(s)
-            assert mat[r, :len(s)].tobytes() == s
-            assert (mat[r, len(s):] == 0xFF).all()
-        total += len(metas)
+        r = 0
+        for blk, idx in refs:
+            for i in np.asarray(idx, np.int64).tolist():
+                s = blk.sequence(i)
+                assert lens[r] == len(s)
+                assert mat[r, :len(s)].tobytes() == s
+                assert (mat[r, len(s):] == 0xFF).all()
+                r += 1
+        assert r == orders.shape[0]
+        seen_orders.extend(orders.tolist())
+        total += r
     assert total == pb.n
+    # every read appears exactly once with its arrival order preserved
+    assert sorted(seen_orders) == list(range(pb.n))
 
 
 def test_jplace_lines_native_matches_python(tmp_path):
@@ -118,9 +126,13 @@ def test_jplace_lines_native_matches_python(tmp_path):
         }
         headers = [f'h{i} "q"\\x' if i % 5 == 0 else f"h{i}"
                    for i in range(n)]
+        hs = [h.encode("utf-8") for h in headers]
+        hdr_blob = np.frombuffer(b"".join(hs), np.uint8)
+        hdr_off = np.zeros(n + 1, np.int64)
+        np.cumsum([len(h) for h in hs], out=hdr_off[1:])
         reads = np.arange(n, dtype=np.int64)
         orders = rng.permutation(n).astype(np.int64)
-        b = w.add_batch(headers, pre, reads, orders)
+        b = w.add_batch(hdr_blob, hdr_off, pre, reads, orders)
         w.add_duplicate(b, 3, "dup3 tail")
         return w
 

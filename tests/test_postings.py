@@ -336,6 +336,7 @@ def test_postings_nway_split_matches_unsplit_bitwise(db, monkeypatch):
     monkeypatch.setattr(PlacementEngine, "LIGHT_SPLIT_BYTES",
                         pairs_bytes // 5 + 64)
     e_split = PlacementEngine(db, table="postings")
+    e_split.enable_routed_windows(False)   # pin the two-stage contract
     assert len(e_split.light_parts) >= 5
     reads = random_reads(db, 12, 40, seed=47)
     reads += [db.alphabet.kmer_to_string(int(k), db.k) * 5
@@ -412,6 +413,7 @@ def test_postings_pipeline_multibatch_bitwise(db, monkeypatch):
     e_pipe = PlacementEngine(db, table="postings")
     e_pipe.enable_pipeline()
     e_ref = PlacementEngine(db, table="postings")
+    e_ref.enable_routed_windows(False)     # pipeline rides two-stage
     batches = []
     for seed in (5, 6, 7):
         reads = random_reads(db, 8, 40, seed=seed)
@@ -443,6 +445,7 @@ def test_postings_unique_overflow_batch_split(db, monkeypatch):
     monkeypatch.setattr(PlacementEngine, "TWO_STAGE_MAX_UNIQUE", 6)
     monkeypatch.setattr(PlacementEngine, "MIN_SPLIT_B", 2)
     e_split = PlacementEngine(db, table="postings")
+    e_split.enable_routed_windows(False)   # pin the overflow contract
     assert len(e_split.light_parts) >= 2
     reads = random_reads(db, 12, 40, seed=51)
     reads += [db.alphabet.kmer_to_string(int(k), db.k) * 5
@@ -457,3 +460,33 @@ def test_postings_unique_overflow_batch_split(db, monkeypatch):
     assert np.array_equal(r1.top_scores.view(np.uint32),
                           r2.top_scores.view(np.uint32))
     assert np.array_equal(r1.n_matched, r2.n_matched)
+
+
+def test_postings_routed_windows(db, monkeypatch):
+    """Part-routed window gathers (round 5): hit windows are packed
+    per owning part on host and gathered with one independent gather
+    per part -- candidate sets, counts and edge order must match the
+    unsplit engine; scores agree within f32 reordering tolerance
+    (per-read summation order differs by design), and the routed
+    engine stays oracle-correct including ambiguity reads."""
+    e_ref = PlacementEngine(db, table="postings")
+    pairs_bytes = (db.postings_tables(8).light_keys.shape[0] + 1) * 64
+    monkeypatch.setattr(PlacementEngine, "LIGHT_SPLIT_BYTES",
+                        pairs_bytes // 4 + 64)
+    e_r = PlacementEngine(db, table="postings")
+    assert len(e_r.light_parts) >= 4
+    e_r.enable_routed_windows()
+    reads = random_reads(db, 16, 40, seed=53)
+    reads += [db.alphabet.kmer_to_string(int(k), db.k) * 5
+              for k in db.keys[:4]]
+    mat, lens = batch_of(reads)
+    r1 = e_ref.score(mat.copy(), lens.copy())
+    r2 = e_r.score(mat.copy(), lens.copy())
+    assert np.array_equal(r1.top_edges, r2.top_edges)
+    assert np.array_equal(r1.n_matched, r2.n_matched)
+    np.testing.assert_allclose(r2.top_scores, r1.top_scores,
+                               rtol=0, atol=2e-4)
+    # oracle agreement on the routed engine directly, incl. ambiguity
+    # windows (they ride the dense side, unchanged by routing)
+    amb = [r[:8] + "N" + r[9:] for r in random_reads(db, 4, 30, seed=54)]
+    compare(db, e_r, random_reads(db, 8, 30, seed=55) + amb)
