@@ -83,6 +83,7 @@ def _jp_lib() -> ctypes.CDLL:
         lib.jp_format_lines.restype = c.c_longlong
         lib.jp_format_lines.argtypes = [
             c.c_char_p, c.c_void_p, c.c_char_p, c.c_void_p,
+            c.c_void_p, c.c_char_p, c.c_void_p,
             c.c_longlong, c.c_void_p, c.c_longlong, c.c_void_p]
         lib.jp_format_tsv.restype = c.c_longlong
         lib.jp_format_tsv.argtypes = [
@@ -135,20 +136,35 @@ def format_tsv_rows(hdr_blob: np.ndarray, hdr_off: np.ndarray,
 
 
 def format_placement_lines(rows_blob: bytes, rows_off: np.ndarray,
-                           hdr_blob: bytes, hdr_off: np.ndarray):
-    """Assemble a batch's full ``{"p":[...],"nm":[["h",1]]}`` lines in
-    one native call.  Returns ``(blob bytes, out_off int64[n+1])``."""
+                           hdr_blob: bytes, hdr_off: np.ndarray,
+                           extra_cnt: np.ndarray | None = None,
+                           ex_blob: bytes = b"",
+                           ex_off: np.ndarray | None = None):
+    """Assemble a batch's full ``{"p":[...],"nm":[["h",1],...]}`` lines
+    in one native call.  ``extra_cnt``/``ex_blob``/``ex_off`` optionally
+    carry duplicate-read "nm" sub-headers, flattened in placement order
+    (round 5).  Returns ``(blob bytes, out_off int64[n+1])``."""
     lib = _jp_lib()
     n = rows_off.shape[0] - 1
     rows_off = np.ascontiguousarray(rows_off, np.int64)
     hdr_off = np.ascontiguousarray(hdr_off, np.int64)
+    if extra_cnt is not None:
+        extra_cnt = np.ascontiguousarray(extra_cnt, np.int32)
+        ex_off = np.ascontiguousarray(ex_off, np.int64)
+        ecnt_ptr = extra_cnt.ctypes.data
+        ex_off_ptr = ex_off.ctypes.data
+    else:
+        ecnt_ptr = None
+        ex_off_ptr = None
     out_off = np.empty(n + 1, np.int64)
-    cap = len(rows_blob) + 2 * len(hdr_blob) + 40 * max(n, 1)
+    cap = (len(rows_blob) + 2 * len(hdr_blob) + 2 * len(ex_blob) +
+           48 * max(n, 1))
     while True:
         buf = ctypes.create_string_buffer(cap)
         written = lib.jp_format_lines(
             rows_blob, rows_off.ctypes.data, hdr_blob,
-            hdr_off.ctypes.data, n, buf, cap, out_off.ctypes.data)
+            hdr_off.ctypes.data, ecnt_ptr, ex_blob, ex_off_ptr,
+            n, buf, cap, out_off.ctypes.data)
         if written >= 0:
             return buf.raw[:written], out_off
         cap *= 2

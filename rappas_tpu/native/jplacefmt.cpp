@@ -81,27 +81,56 @@ long long jp_format_rows(
     return p - out;
 }
 
+namespace {
+
+inline char* put_json_escaped(char* p, const char* h, long long hlen) {
+    static const char hexd[] = "0123456789abcdef";
+    for (long long j = 0; j < hlen; j++) {
+        unsigned char c = h[j];
+        if (c == '"' || c == '\\') {
+            *p++ = '\\';
+            *p++ = c;
+        } else if (c < 0x20) {
+            std::memcpy(p, "\\u00", 4);
+            p += 4;
+            *p++ = hexd[c >> 4];
+            *p++ = hexd[c & 15];
+        } else {
+            *p++ = c;
+        }
+    }
+    return p;
+}
+
+}  // namespace
+
 // Assemble full placement lines for one batch:
-//   {"p":[<rows_i>],"nm":[["<header_i>",1]]}
+//   {"p":[<rows_i>],"nm":[["<header_i>",1],["<dup_sub>",1],...]}
 // rows_buf/rows_off come from jp_format_rows; hdr_buf/hdr_off hold the
 // utf-8 headers of the SAME placements.  Headers are JSON-escaped while
 // copying ('"', '\\' and control bytes -> \u00XX; other bytes pass
-// through raw, i.e. ensure_ascii=False semantics).  Placements whose
-// "nm" carries duplicate-read entries are re-rendered by the python
-// caller; this covers the overwhelmingly common single-name case.
+// through raw, i.e. ensure_ascii=False semantics).  extra_cnt (nullable)
+// gives the number of duplicate-read "nm" sub-headers per placement,
+// flattened in placement order in ex_buf/ex_off (round 5 -- before,
+// any placement with duplicates fell back to a python renderer).
 // Returns total bytes written or -1 if out is too small (caller grows).
 long long jp_format_lines(const char* rows_buf, const long long* rows_off,
                           const char* hdr_buf, const long long* hdr_off,
+                          const int32_t* extra_cnt, const char* ex_buf,
+                          const long long* ex_off,
                           long long n, char* out, long long cap,
                           long long* out_off) {
-    static const char hexd[] = "0123456789abcdef";
     char* p = out;
     char* lim = out + cap;
+    long long e = 0;     // running index into the flattened extras
     for (long long i = 0; i < n; i++) {
         long long rlen = rows_off[i + 1] - rows_off[i];
         long long hlen = hdr_off[i + 1] - hdr_off[i];
-        // worst case: every header byte escapes to 6 chars
-        if (p + rlen + 6 * hlen + 32 > lim) return -1;
+        long long ecnt = extra_cnt ? extra_cnt[i] : 0;
+        long long elen = ecnt ? ex_off[e + ecnt] - ex_off[e] : 0;
+        // worst case: every header/extra byte escapes to 6 chars
+        if (p + rlen + 6 * (hlen + elen) + 10 * ecnt + 32 > lim)
+            return -1;
         out_off[i] = p - out;
         std::memcpy(p, "{\"p\":[", 6);
         p += 6;
@@ -109,26 +138,22 @@ long long jp_format_lines(const char* rows_buf, const long long* rows_off,
         p += rlen;
         std::memcpy(p, "],\"nm\":[[\"", 10);
         p += 10;
-        const char* h = hdr_buf + hdr_off[i];
-        for (long long j = 0; j < hlen; j++) {
-            unsigned char c = h[j];
-            if (c == '"' || c == '\\') {
-                *p++ = '\\';
-                *p++ = c;
-            } else if (c < 0x20) {
-                std::memcpy(p, "\\u00", 4);
-                p += 4;
-                *p++ = hexd[c >> 4];
-                *p++ = hexd[c & 15];
-            } else {
-                *p++ = c;
-            }
+        p = put_json_escaped(p, hdr_buf + hdr_off[i], hlen);
+        std::memcpy(p, "\",1]", 4);
+        p += 4;
+        for (long long k = 0; k < ecnt; k++, e++) {
+            std::memcpy(p, ",[\"", 3);
+            p += 3;
+            p = put_json_escaped(p, ex_buf + ex_off[e],
+                                 ex_off[e + 1] - ex_off[e]);
+            std::memcpy(p, "\",1]", 4);
+            p += 4;
         }
         // ",\n" trails every line so consecutive-run consumers can
         // slice N pre-joined lines in one go (the caller strips the
         // final separator)
-        std::memcpy(p, "\",1]]},\n", 8);
-        p += 8;
+        std::memcpy(p, "]},\n", 4);
+        p += 4;
     }
     out_off[n] = p - out;
     return p - out;

@@ -65,15 +65,63 @@ class BatchResult(NamedTuple):
     n_matched: np.ndarray   # int32[B] = |L| per read
 
 
-class PendingBatch:
-    """Handle for an in-flight scored batch."""
+@jax.jit
+def pack_wire(te: jax.Array, ts: jax.Array, lwr: jax.Array,
+              nm: jax.Array):
+    """Byte-lean single-array D2H wire format (round 5): ONE int32
+    [B, K + ceil(K/2) + 1] tensor per batch -- scores bit-cast f32,
+    edge ids packed two-u16-per-word (sentinel 65535 = no edge), |L|.
+    LWR is dropped and recomputed on host from the scores (same f32
+    arithmetic as :func:`finalize`).  88 -> 48 B/read at K=7, and ONE
+    result fetch per batch instead of four: the tunneled dev backend
+    pays a fixed per-fetch cost, which had become the largest
+    remaining host<->device term of the CLI loop."""
+    B, K = te.shape
+    edges = jnp.where(te < 0, 65535, te).astype(jnp.uint16)
+    if K % 2:
+        edges = jnp.concatenate(
+            [edges, jnp.full((B, 1), 65535, jnp.uint16)], axis=1)
+    ew = jax.lax.bitcast_convert_type(
+        edges.reshape(B, -1, 2), jnp.int32)
+    sw = jax.lax.bitcast_convert_type(ts, jnp.int32)
+    return jnp.concatenate([sw, ew, nm.astype(jnp.int32)[:, None]],
+                           axis=1)
 
-    def __init__(self, out):
+
+def unpack_wire(words, K: int) -> BatchResult:
+    """Host-side decode of :func:`pack_wire`; LWR recomputed with the
+    same f32 arithmetic :func:`finalize` uses (exp2 of the max-shifted
+    scores, normalized)."""
+    words = np.asarray(words)
+    K2 = (K + 1) // 2
+    ts = words[:, :K].copy().view(np.float32)
+    edges = words[:, K:K + K2].copy().view(np.uint16)[:, :K]
+    nm = words[:, K + K2]
+    te = np.where(edges == 65535, -1, edges.astype(np.int32))
+    valid = te >= 0
+    # -inf - -inf on fully-unplaced rows is nan inside np.where's
+    # eagerly-evaluated branch; the mask discards it
+    with np.errstate(invalid="ignore"):
+        d = np.where(valid, ts - ts[:, :1], np.float32(-np.inf))
+    w = np.exp2(d * np.float32(np.log2(10.0)), dtype=np.float32)
+    lwr = w / np.maximum(w.sum(axis=1, keepdims=True),
+                         np.float32(1e-30))
+    return BatchResult(te, ts, lwr.astype(np.float32), nm)
+
+
+class PendingBatch:
+    """Handle for an in-flight scored batch (raw finalize outputs, or
+    the packed single-array lean wire when ``wire`` carries its K)."""
+
+    def __init__(self, out, wire: int = 0):
         self._out = out
+        self._wire = wire
 
     def result(self) -> BatchResult:
         if isinstance(self._out, BatchResult):
             return self._out
+        if self._wire:
+            return unpack_wire(self._out, self._wire)
         te, ts, lwr, nm = self._out
         return BatchResult(np.asarray(te), np.asarray(ts),
                            np.asarray(lwr), np.asarray(nm))
@@ -1142,6 +1190,11 @@ class PlacementEngine:
         #: set by _init_direct_split, None = unsplit)
         self.direct_parts = None
         self._direct_cuts = None
+        #: byte-lean D2H wire format (round 5): on when edge ids fit
+        #: u16; single-chip engine only (mesh engines manage their own
+        #: output sharding)
+        self._wire_ok = (type(self) is PlacementEngine and
+                         db.n_edge_slots < 65535)
 
     @classmethod
     def resolve_table(cls, db: PhyloKmerDB, table: str, precision: str,
@@ -1282,9 +1335,7 @@ class PlacementEngine:
             acc = accumulate(self.D, rows) * self.scale
             out = finalize(acc, lens_dev, self.thr,
                            self.k, self.keep_at_most)
-            for o in out:
-                o.copy_to_host_async()
-            return PendingBatch(out)
+            return self._emit_out(out)
         if self.table == "direct":
             rows = kmer_rows(self._put_batch(codes), self.k,
                              self.alphabet.n_states, self.n_rows)
@@ -1301,9 +1352,7 @@ class PlacementEngine:
             acc = self._apply_ambiguities(amb, acc)
         out = finalize(acc, self._put_batch(lengths), self.thr,
                        self.k, self.keep_at_most)
-        for o in out:
-            o.copy_to_host_async()
-        return PendingBatch(out)
+        return self._emit_out(out)
 
     # -------------------------------------------------------------- #
     # postings mode (large trees) -- all lookup work happens on host:
@@ -1378,9 +1427,7 @@ class PlacementEngine:
                 dense_reads].add(dense_rows)
             out = finalize(dense_acc, lens_dev, self.thr, self.k,
                            self.keep_at_most)
-            for o in out:
-                o.copy_to_host_async()
-            return PendingBatch(out)
+            return self._emit_out(out)
 
         # ---- light rows: hit compaction + optional two-stage -------- #
         lrows = np.minimum(rof, nl).astype(np.int32)
@@ -1441,9 +1488,7 @@ class PlacementEngine:
                 dense_slots, self._put_repl(slot_read), lens_dev,
                 self.thr, self.k, self.keep_at_most, lowrank,
                 sort_keep=sort_keep)
-            for o in out:
-                o.copy_to_host_async()
-            return PendingBatch(out)
+            return self._emit_out(out)
 
         uniq_dev = None
         if self._light_slow or len(self.light_parts) > 1:
@@ -1534,9 +1579,7 @@ class PlacementEngine:
             dense_rows, dense_reads, dense_slots,
             self._put_repl(slot_read), lens_dev, self.thr,
             self.k, self.keep_at_most, lowrank, sort_keep=sort_keep)
-        for o in out:
-            o.copy_to_host_async()
-        return PendingBatch(out)
+        return self._emit_out(out)
 
     # ---- postings software pipeline (single-chip two-stage path) ---- #
 
@@ -1579,6 +1622,20 @@ class PlacementEngine:
         if entry is self._pp_tail:
             self._pp_tail = None
             self._pp_issue(entry, None)
+
+    def _emit_out(self, out) -> "PendingBatch":
+        """Start D2H for one scored batch; single-array lean wire when
+        edge ids fit u16 (round 5: one fetch of 48 B/read instead of
+        four totalling 88 B/read -- the result fetch was the largest
+        remaining host<->device term on the tunneled dev backend)."""
+        if self._wire_ok:
+            K = out[0].shape[1]
+            packed = pack_wire(*out)
+            packed.copy_to_host_async()
+            return PendingBatch(packed, wire=K)
+        for o in out:
+            o.copy_to_host_async()
+        return PendingBatch(out)
 
     def _init_direct_split(self, dense: np.ndarray, device) -> None:
         """Height-split a slow-zone dense direct table into fast-zone
@@ -1651,9 +1708,7 @@ class PlacementEngine:
             acc = self._apply_ambiguities(amb, acc)
         out = finalize(acc, lens_dev, self.thr, self.k,
                        self.keep_at_most)
-        for o in out:
-            o.copy_to_host_async()
-        return PendingBatch(out)
+        return self._emit_out(out)
 
     def enable_routed_windows(self, on: bool = True) -> None:
         """Toggle part-routed window gathers on split light tables

@@ -56,9 +56,12 @@ class BatchPlacements:
     ``extra[i]`` holds duplicate-read sub-headers attached to read ``i``.
     Headers live as one utf-8 byte blob + offsets (round 5: no per-read
     python strings on the hot path; only reads that hit an output edge
-    case ever decode)."""
+    case ever decode).  Duplicate-read "nm" sub-headers attach either
+    as strings (``extra``, the rare in-flight-resolution path) or as
+    whole vectorized chunks (``extra_chunks``: (slots, token-blob,
+    offsets) tuples, the bulk path)."""
     __slots__ = ("pre", "hdr_blob", "hdr_off", "reads", "orders",
-                 "extra", "lines")
+                 "extra", "extra_chunks", "lines")
 
     def __init__(self, pre: dict, hdr_blob: np.ndarray,
                  hdr_off: np.ndarray, reads: np.ndarray,
@@ -69,13 +72,36 @@ class BatchPlacements:
         self.reads = reads
         self.orders = orders
         self.extra: dict[int, list[str]] = {}
+        self.extra_chunks: list = []
         #: eagerly-formatted native line blob (set by the writer's
-        #: background formatter; None = format at write time)
+        #: background formatter; None = format at write time; the last
+        #: tuple element records the extras count it was rendered with)
         self.lines = None
 
     def header(self, i: int) -> str:
         return self.hdr_blob[self.hdr_off[i]:self.hdr_off[i + 1]] \
             .tobytes().decode("utf-8", "replace")
+
+    def extras_for(self, i: int) -> list:
+        """Duplicate sub-headers of in-batch read ``i`` (chronological);
+        python-fallback rendering only."""
+        out = list(self.extra.get(i, ()))
+        for slots, blob, off in self.extra_chunks:
+            for m in np.flatnonzero(slots == i).tolist():
+                out.append(blob[off[m]:off[m + 1]].tobytes()
+                           .decode("utf-8", "replace"))
+        return out
+
+    def extras_count(self) -> int:
+        return (sum(len(v) for v in self.extra.values()) +
+                sum(int(c[0].shape[0]) for c in self.extra_chunks))
+
+    def add_extras_chunk(self, slots: np.ndarray, tok_blob: np.ndarray,
+                         tok_off: np.ndarray) -> None:
+        """Attach duplicate sub-header tokens for many reads at once
+        (``slots``: in-batch read indices, one per token)."""
+        if slots.shape[0]:
+            self.extra_chunks.append((slots, tok_blob, tok_off))
 
 
 class JplaceWriter:
@@ -215,30 +241,82 @@ class JplaceWriter:
                     for r in range(lo, hi)))
         return out
 
-    def _batch_lines(self, b: BatchPlacements):
-        """Fully-assembled ``{"p":..,"nm":..},\\n`` lines of one batch
-        (native): ``(blob, line_off, rows_blob, rows_off)``.  None when
-        the toolchain is missing."""
-        nat = self._batch_rows_native(b)
-        if nat is None:
+    def _extras_arrays(self, b: BatchPlacements):
+        """Duplicate "nm" sub-headers flattened in placement order
+        (chronological within a placement): ``(cnt int32[n_placed],
+        ex_blob bytes, ex_off int64[total+1])`` or None when the batch
+        has none."""
+        n = b.reads.shape[0]
+        pos_parts, blob_parts, start_parts, len_parts = [], [], [], []
+        base = 0
+        if b.extra:
+            for i, lst in b.extra.items():
+                bs = [s.encode("utf-8") for s in lst]
+                ls = np.fromiter(map(len, bs), np.int64, len(bs))
+                pos_parts.append(np.full(
+                    len(bs), np.searchsorted(b.reads, i), np.int64))
+                blob_parts.append(np.frombuffer(b"".join(bs), np.uint8))
+                start_parts.append(base + np.concatenate(
+                    [[0], np.cumsum(ls)[:-1]]).astype(np.int64))
+                len_parts.append(ls)
+                base += int(ls.sum())
+        for slots, blob, off in b.extra_chunks:
+            pos_parts.append(np.searchsorted(b.reads, slots))
+            blob_parts.append(blob)
+            start_parts.append(base + off[:-1])
+            len_parts.append(np.diff(off))
+            base += int(blob.shape[0])
+        if not pos_parts:
             return None
+        from rappas_tpu.native import gather_ranges
+        pos = np.concatenate(pos_parts)
+        blob_all = np.concatenate(blob_parts)
+        starts = np.concatenate(start_parts)
+        lens = np.concatenate(len_parts)
+        srt = np.argsort(pos, kind="stable")
+        ex_blob, ex_off = gather_ranges(blob_all, starts[srt],
+                                        starts[srt] + lens[srt])
+        cnt = np.bincount(pos, minlength=n).astype(np.int32)
+        return cnt, ex_blob.tobytes(), ex_off
+
+    def _batch_lines(self, b: BatchPlacements, reuse_rows=None):
+        """Fully-assembled ``{"p":..,"nm":..},\\n`` lines of one batch
+        (native, duplicate sub-headers included): ``(blob, line_off,
+        rows_blob, rows_off, n_extras)``.  None when the toolchain is
+        missing."""
+        if reuse_rows is not None:
+            nat = reuse_rows
+        else:
+            nat = self._batch_rows_native(b)
+            if nat is None:
+                return None
         rows_blob, rows_off = nat
         from rappas_tpu.native import (format_placement_lines,
                                        gather_ranges)
         hb, hdr_off = gather_ranges(b.hdr_blob, b.hdr_off[b.reads],
                                     b.hdr_off[b.reads + 1])
-        blob, off = format_placement_lines(rows_blob, rows_off,
-                                           hb.tobytes(), hdr_off)
-        return blob, off, rows_blob, rows_off
+        ex = self._extras_arrays(b)
+        n_extras = int(ex[0].sum()) if ex is not None else 0
+        try:
+            blob, off = format_placement_lines(
+                rows_blob, rows_off, hb.tobytes(), hdr_off,
+                *(ex if ex is not None else (None, b"", None)))
+        except Exception:              # toolchain missing
+            self._native_fmt = False
+            return None
+        return blob, off, rows_blob, rows_off, n_extras
 
     def _ordered_chunks(self):
         """Yield placement text as BYTES chunks in first-occurrence read
         order (the reference's serial order).  A chunk holds >= 1
         complete ``{"p":...,"nm":...}`` objects joined by b",\\n"; runs
         of consecutive placements from one batch are sliced from the
-        batch's native line blob in one go, so per-placement python work
-        only remains for duplicate-read ``nm`` lists and the no-toolchain
-        fallback."""
+        batch's native line blob in one go.  Duplicate-read ``nm``
+        sub-headers are baked into the blob by the native formatter
+        (round 5); an eagerly-formatted blob is reused when its extras
+        count still matches, else the batch re-renders from its cached
+        rows blob.  Per-placement python remains only on the
+        no-toolchain fallback."""
         if not self._batches:
             return
         bl = self._batches
@@ -258,62 +336,38 @@ class JplaceWriter:
         run_ends = np.append(run_starts[1:], n)
         lines = [None] * len(bl)
         texts = [None] * len(bl)
-        extra_pos = [None] * len(bl)
 
-        def py_line(b, j, ent, p):
+        def py_line(b, j, p):
             i = int(b.reads[p])
-            extra = b.extra.get(i)
             header = b.header(i)
             nm = ",".join("[%s,1]" % _json_str(h)
-                          for h in [header] + (extra or []))
-            if ent is not False:
-                rows = ent[2][ent[3][p]:ent[3][p + 1]].decode("ascii")
-            else:
-                if texts[j] is None:
-                    texts[j] = self._batch_row_texts(b)
-                rows = texts[j][p]
+                          for h in [header] + b.extras_for(i))
+            if texts[j] is None:
+                texts[j] = self._batch_row_texts(b)
+            rows = texts[j][p]
             return ('{"p":[%s],"nm":[%s]}' % (rows, nm)).encode("utf-8")
 
         for s, e in zip(run_starts.tolist(), run_ends.tolist()):
             j = int(bid_s[s])
             b = bl[j]
             if lines[j] is None:
-                # prefer the eagerly-formatted blob (background
-                # formatter thread, pipeline round 5); extras added
-                # after formatting stay correct -- their placements are
-                # re-rendered from the rows blob via py_line, the blob
-                # is only sliced around them
-                lines[j] = (b.lines if b.lines is not None
-                            else self._batch_lines(b)) or False
-                if b.extra:
-                    # positions (placement ranks) whose reads carry
-                    # duplicate nm entries -- sliced around below
-                    er = np.flatnonzero(np.isin(
-                        b.reads, np.fromiter(b.extra, np.int64,
-                                             len(b.extra))))
-                    extra_pos[j] = set(er.tolist())
+                ent = b.lines
+                if ent is not None and ent is not False and \
+                        ent[4] != b.extras_count():
+                    # extras arrived after the eager render: re-render
+                    # with them baked in, reusing the cached rows blob
+                    ent = self._batch_lines(b, reuse_rows=ent[2:4])
+                if ent is None:
+                    ent = self._batch_lines(b)
+                lines[j] = ent if ent is not None else False
             ent = lines[j]
             p0, p1 = int(pos_s[s]), int(pos_s[e - 1])
             if ent is False:
                 for p in range(p0, p1 + 1):
-                    yield py_line(b, j, ent, p)
+                    yield py_line(b, j, p)
                 continue
-            ep = extra_pos[j]
-            if not ep:
-                blob, off = ent[0], ent[1]
-                yield blob[off[p0]:off[p1 + 1] - 2]   # strip last ",\n"
-                continue
-            # slice clean sub-runs, render nm-extra placements in python
             blob, off = ent[0], ent[1]
-            q0 = p0
-            for p in range(p0, p1 + 2):
-                if p <= p1 and p not in ep:
-                    continue
-                if q0 < p:
-                    yield blob[off[q0]:off[p] - 2]
-                if p <= p1:
-                    yield py_line(b, j, ent, p)
-                q0 = p + 1
+            yield blob[off[p0]:off[p1 + 1] - 2]       # strip last ",\n"
 
     # -------------------------------------------------------------- #
     def _fields(self) -> list[str]:

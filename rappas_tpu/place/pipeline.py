@@ -127,6 +127,32 @@ class PlacementConfig:
     read_shard: tuple | None = None
 
 
+def _first_tokens(pb, idx):
+    """Sub-headers (header up to the first space,
+    ``PlacementProcess.java:598-612``) of block records ``idx`` as a
+    byte blob + offsets -- fully vectorized for native blocks."""
+    from rappas_tpu.native import gather_ranges
+    idx = np.asarray(idx, np.int64)
+    if hasattr(pb, "hdr_buf"):
+        blob, off = gather_ranges(pb.hdr_buf, pb.hdr_off[idx],
+                                  pb.hdr_off[idx + 1])
+    else:
+        hs = [pb.header(int(i)).encode("utf-8") for i in idx]
+        blob = np.frombuffer(b"".join(hs), np.uint8)
+        off = np.zeros(len(hs) + 1, np.int64)
+        np.cumsum(np.fromiter(map(len, hs), np.int64, len(hs)),
+                  out=off[1:])
+    sp = np.flatnonzero(blob == 0x20)
+    if sp.size:
+        k = np.searchsorted(sp, off[:-1])
+        cand = np.where(k < sp.size, sp[np.minimum(k, sp.size - 1)],
+                        np.iinfo(np.int64).max)
+        ends = np.minimum(cand, off[1:])
+    else:
+        ends = off[1:]
+    return gather_ranges(blob, off[:-1], ends)
+
+
 def _headers_blob(refs):
     """Concatenated utf-8 header bytes + int64 offsets for one batch's
     reads (``refs`` = list of (block, index-array) chunks in batch row
@@ -296,14 +322,22 @@ def place_queries(db: PhyloKmerDB, query_path, workdir,
             tsv.write(("\n".join(lines) + "\n").encode("utf-8"))
 
     # keep a few batches in flight: device compute and both transfer
-    # directions overlap with the host-side jplace assembly
+    # directions overlap with the host-side jplace assembly.  The
+    # engine's host-side prep (packing / k-mer indexing / table lookup
+    # / window routing) runs on a single dedicated thread so it
+    # overlaps the main thread's dedup + writer work too (round 5);
+    # one worker keeps engine calls serialized in submission order.
+    from concurrent.futures import ThreadPoolExecutor
+    prep = ThreadPoolExecutor(max_workers=1)
     in_flight: list = []
 
     def submit(batch):
         refs, orders, lens, mat = batch
-        in_flight.append(((refs, orders), engine.score_async(mat, lens)))
+        fut = prep.submit(engine.score_async, mat, lens)
+        in_flight.append(((refs, orders), fut))
         if len(in_flight) > 3:
-            handle_batch(*in_flight.pop(0))
+            meta, f = in_flight.pop(0)
+            handle_batch(meta, f.result())
 
     # round-5 host pipelining across cores: a reader thread runs file
     # IO + native block parse + md5 (ctypes releases the GIL), and a
@@ -369,30 +403,47 @@ def place_queries(db: PhyloKmerDB, query_path, workdir,
         order += sel.shape[0]
         first = dedup(pb.md5s[sel], orders_blk)
         dup = np.flatnonzero(first >= 0)
-        for j, fo in zip(sel[dup].tolist(), first[dup].tolist()):
-            # duplicate occurrences (python only for actual dups):
-            # attach to the placed first, re-list unplaced per
-            # occurrence (the reference only dedups *placed* reads,
-            # PlacementProcess.java:591-629), queue while the first's
-            # batch is still in flight
-            st = int(reg.status[fo]) if fo < reg.status.shape[0] \
-                else _IN_FLIGHT
-            if st == _PLACED:
-                b, i = reg.batch_of(fo)
-                JplaceWriter.add_duplicate(b, i, pb.header(j))
-            elif st == _UNPLACED:
-                notplaced.write(pb.header(j) + "\n")
+        if dup.size:
+            # duplicate occurrences: attach to the placed first,
+            # re-list unplaced per occurrence (the reference only
+            # dedups *placed* reads, PlacementProcess.java:591-629),
+            # queue while the first's batch is still in flight.
+            # Round 5: the common placed case is fully vectorized --
+            # sub-header tokens are extracted in one pass and attached
+            # per target batch as array chunks; python remains only
+            # for unplaced / in-flight firsts (rare).
+            js = sel[dup]
+            fo = first[dup]
+            cap = reg.status.shape[0]
+            st = np.where(fo < cap,
+                          reg.status[np.minimum(fo, cap - 1)],
+                          np.int8(_IN_FLIGHT))
+            pl = np.flatnonzero(st == _PLACED)
+            if pl.size:
+                toks, toff = _first_tokens(pb, js[pl])
+                bids = reg.bidx[fo[pl]]
+                slots = reg.slot[fo[pl]]
+                for bid in np.unique(bids).tolist():
+                    m = np.flatnonzero(bids == bid)
+                    from rappas_tpu.native import gather_ranges
+                    tb, to = gather_ranges(toks, toff[m], toff[m + 1])
+                    reg.batches[bid].add_extras_chunk(
+                        slots[m].astype(np.int64), tb, to)
+            for d in np.flatnonzero(st == _UNPLACED).tolist():
+                notplaced.write(pb.header(int(js[d])) + "\n")
                 counts["unplaced"] += 1
-            elif st == _IN_FLIGHT:
-                reg.pending.setdefault(fo, []).append(pb.header(j))
+            for d in np.flatnonzero(st == _IN_FLIGHT).tolist():
+                reg.pending.setdefault(int(fo[d]), []).append(
+                    pb.header(int(js[d])))
             # _FILTERED: nsbound-filtered reads re-filter silently
         fresh = np.flatnonzero(first < 0)
         for b in batcher.add_block(pb, sel[fresh], orders_blk[fresh]):
             submit(b)
     for b in batcher.flush():
         submit(b)
-    for item in in_flight:
-        handle_batch(*item)
+    for meta, f in in_flight:
+        handle_batch(meta, f.result())
+    prep.shutdown()
     reader.join()
     fmt_q.put(None)
     formatter.join()

@@ -130,3 +130,34 @@ def test_notplaced_log(tiny_db, tmp_path, fixtures_dir):
     # both occurrences listed (duplicate of unplaced is re-listed,
     # PlacementProcess.java:591-629)
     assert listed.splitlines() == ["s1", "s2"]
+
+
+def test_many_duplicates_nm_lists(tiny_db, tmp_path, fixtures_dir):
+    """Heavy duplication across blocks/batches: every duplicate lands
+    on its first occurrence's nm list, sub-headers truncated at the
+    first space, in arrival order (exercises the round-5 vectorized
+    extras chunks + native nm rendering, PlacementProcess.java:
+    591-629,1052-1060)."""
+    seqs = dict(read_fasta(fixtures_dir / "tiny.fasta"))
+    bases = list(seqs.values())[:4]
+    qp = tmp_path / "dups.fasta"
+    with open(qp, "w") as f:
+        # firsts
+        for i, s in enumerate(bases):
+            f.write(f">first{i} descr {i}\n{s[:80]}\n")
+        # many duplicates, interleaved, arriving over several batches
+        for r in range(25):
+            for i, s in enumerate(bases):
+                f.write(f">dup{i}_{r} tail text\n{s[:80]}\n")
+    out = place_queries(tiny_db, qp, tmp_path,
+                        PlacementConfig(batch_size=16))
+    j = json.loads(out.read_text())
+    firsts = {p["nm"][0][0]: p for p in j["placements"]}
+    assert len(j["placements"]) == 4
+    for i in range(4):
+        p = firsts[f"first{i} descr {i}"]
+        names = [n[0] for n in p["nm"]]
+        # full header first, then sub-headers in arrival order
+        assert names[0] == f"first{i} descr {i}"
+        assert names[1:] == [f"dup{i}_{r}" for r in range(25)]
+        assert all(n[1] == 1 for n in p["nm"])
