@@ -315,19 +315,34 @@ def host_kmer_indices(codes: np.ndarray, lengths: np.ndarray, k: int,
     """[B, Q] k-mer indices on host (-1 = window contains ambiguity or
     padding) -- numpy mirror of :func:`kmer_indices64`, shared by the
     engine's heavy-hit extraction and the sharded placements.  int32
-    when the index space fits (2.4x faster host pass)."""
+    when the index space fits (2.4x faster host pass); >31-bit spaces
+    run the Horner recurrence as two int32 halves combined once in
+    int64 (round 5: the all-int64 pass was ~40 ms of the per-batch
+    protein prep)."""
     B, L = codes.shape
     Q = L - k + 1
-    dtype = (np.int32 if n_states ** k <= 2 ** 31 - 1 else np.int64)
-    idx = np.zeros((B, Q), dtype)
     amb = np.zeros((B, Q), bool)
     for i in range(k):
-        w = codes[:, i:i + Q]
-        amb |= w < 0
-        idx *= n_states
-        idx += np.maximum(w, 0).astype(dtype)
+        amb |= codes[:, i:i + Q] < 0
     amb |= np.arange(Q)[None, :] > (lengths[:, None] - k)
-    return np.where(amb, dtype(-1), idx)
+
+    def horner(lo_pos, hi_pos, dtype):
+        acc = np.zeros((B, Q), dtype)
+        for i in range(lo_pos, hi_pos):
+            acc *= n_states
+            acc += np.maximum(codes[:, i:i + Q], 0).astype(dtype)
+        return acc
+
+    if n_states ** k <= 2 ** 31 - 1:
+        return np.where(amb, np.int32(-1), horner(0, k, np.int32))
+    k2 = k // 2
+    if n_states ** max(k2, k - k2) <= 2 ** 31 - 1:
+        hi = horner(0, k - k2, np.int32).astype(np.int64)
+        lo = horner(k - k2, k, np.int32).astype(np.int64)
+        idx = hi * np.int64(n_states ** k2) + lo
+    else:       # neither half fits (amino k >= 16): plain int64 pass
+        idx = horner(0, k, np.int64)
+    return np.where(amb, np.int64(-1), idx)
 
 
 def searchsorted_rows(keys: np.ndarray, kidx: np.ndarray) -> np.ndarray:
@@ -370,7 +385,11 @@ class HostKeyIndex:
         self.shift = max(0, kmax.bit_length() - n_buckets_log2)
         nb = (kmax >> self.shift) + 2 if self.n else 2
         edges = (np.arange(nb, dtype=np.int64) << self.shift)
-        self.lo = np.searchsorted(keys, edges).astype(np.int64)
+        # int32 bucket table: halves the random-access footprint of the
+        # per-query probe, measured 82 -> 64 ms per 1.5M misses at 2^22
+        # (round 5; a cache-sized SMALLER bucket count measured WORSE --
+        # 2^20: 123 ms -- because avg occupancy and scan rounds grow)
+        self.lo = np.searchsorted(keys, edges).astype(np.int32)
 
     def __call__(self, kidx: np.ndarray) -> np.ndarray:
         n = self.n
@@ -1747,10 +1766,31 @@ class PlacementEngine:
         if self._rof_np is not None:
             space = self.alphabet.n_states ** self.k
             return self._rof_np[np.where(kidx >= 0, kidx, space)]
-        lp = self._light_lookup(kidx)                       # miss -> nl
-        hp = self._heavy_lookup(kidx)
+        # big-key-space fallback (protein k>=8): ONE combined bucketed
+        # search over all keys with encoded-row values (round 5 -- the
+        # separate light+heavy passes were ~half the protein host prep)
+        keys, vals = self._comb_lookup_arrays
+        pos = self._comb_lookup(kidx)                       # miss -> n
+        n = keys.shape[0]
+        return np.where(pos < n, vals[np.minimum(pos, n - 1)],
+                        np.int32(self._nl))
+
+    @functools.cached_property
+    def _comb_lookup_arrays(self):
+        """(sorted all-keys array, encoded-row values) for the combined
+        fallback lookup (keys are disjoint by construction)."""
+        nl = self._nl
         nh = self._heavy_keys_np.shape[0]
-        return np.where(hp < nh, self._nl + 1 + hp, lp)
+        comb = np.concatenate([self._light_keys_np,
+                               self._heavy_keys_np])
+        enc = np.concatenate([np.arange(nl, dtype=np.int32),
+                              nl + 1 + np.arange(nh, dtype=np.int32)])
+        srt = np.argsort(comb, kind="stable")
+        return comb[srt], enc[srt]
+
+    @functools.cached_property
+    def _comb_lookup(self):
+        return make_key_lookup(self._comb_lookup_arrays[0])
 
     # -------------------------------------------------------------- #
     def _expand_ambiguities(self, codes: np.ndarray, matrix: np.ndarray,
@@ -1952,8 +1992,11 @@ class PlacementEngine:
             return (self._put_repl(np.minimum(rof, nl)),
                     self._put_repl(np.where(rof > nl, rof - (nl + 1),
                                             nh).astype(np.int32)))
-        return (self._put_repl(self._light_lookup(kidx)),
-                self._put_repl(self._heavy_lookup(kidx)))
+        rof = self._host_rows(kidx)
+        nl, nh = self._nl, self._heavy_keys_np.shape[0]
+        return (self._put_repl(np.minimum(rof, nl).astype(np.int32)),
+                self._put_repl(np.where(rof > nl, rof - (nl + 1),
+                                        nh).astype(np.int32)))
 
     def _apply_ambiguities(self, amb, acc):
         """Dense modes: add window contributions into the accumulator."""

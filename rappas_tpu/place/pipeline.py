@@ -226,7 +226,7 @@ def place_queries(db: PhyloKmerDB, query_path, workdir,
     # leave the four mapping columns empty exactly like the reference's
     # onlyFakes branch (PlacementProcess.java:951-959)
     resolution = db.meta.get("orinodes_resolution")
-    notplaced = open(logs / f"notplaced_{qname}.tsv{suffix}", "w")
+    notplaced = open(logs / f"notplaced_{qname}.tsv{suffix}", "wb")
 
     # ZERO python loops over reads on the hot path: parse / md5 /
     # dedup-map / matrix fill run in native block calls
@@ -262,7 +262,6 @@ def place_queries(db: PhyloKmerDB, query_path, workdir,
             return hdr_blob[hdr_off[i]:hdr_off[i + 1]].tobytes() \
                 .decode("utf-8", "replace")
 
-        unplaced_lines = []
         # duplicates queued while this batch was in flight (rare):
         # resolve BEFORE listing unplaced so a first occurrence and its
         # early duplicates land together, like the serial reference
@@ -271,26 +270,40 @@ def place_queries(db: PhyloKmerDB, query_path, workdir,
             oset = set(orders.tolist())
             for o in [o for o in reg.pending if o in oset]:
                 pending_here[o] = reg.pending.pop(o)
-        if not placed.all() or pending_here:
-            # touch only reads that need python: unplaced ones and
-            # those with queued duplicates
-            interesting = ~placed
-            if pending_here:
-                interesting = interesting | np.isin(
-                    orders, np.fromiter(pending_here, np.int64,
-                                        len(pending_here)))
+        unplaced = ~placed & ~filtered
+        if pending_here:
+            # rare interleaving path: queued duplicates must land right
+            # after their first occurrence
+            unplaced_lines = []
+            interesting = unplaced | np.isin(
+                orders, np.fromiter(pending_here, np.int64,
+                                    len(pending_here)))
             for i in np.flatnonzero(interesting).tolist():
-                o = int(orders[i])
-                dups = pending_here.get(o)
+                dups = pending_here.get(int(orders[i]))
                 if placed[i]:
                     for dup_header in dups or ():
                         JplaceWriter.add_duplicate(batch, i, dup_header)
                 elif not filtered[i]:
                     unplaced_lines.append(hdr(i))
                     unplaced_lines.extend(dups or ())
-        if unplaced_lines:
-            counts["unplaced"] += len(unplaced_lines)
-            notplaced.write("\n".join(unplaced_lines) + "\n")
+            if unplaced_lines:
+                counts["unplaced"] += len(unplaced_lines)
+                notplaced.write(("\n".join(unplaced_lines) + "\n")
+                                .encode("utf-8"))
+        elif unplaced.any():
+            # bulk unplaced listing with one range gather + newline
+            # scatter (a high-miss workload -- e.g. protein screens --
+            # can have ~every read here; the python loop was its wall)
+            from rappas_tpu.native import gather_ranges
+            ui = np.flatnonzero(unplaced)
+            ub, uo = gather_ranges(hdr_blob, hdr_off[ui],
+                                   hdr_off[ui + 1])
+            lens_u = np.diff(uo)
+            out = np.full(ub.shape[0] + ui.size, 0x0A, np.uint8)
+            out[np.arange(ub.shape[0]) +
+                np.repeat(np.arange(ui.size), lens_u)] = ub
+            counts["unplaced"] += int(ui.size)
+            notplaced.write(out.tobytes())
         if tsv and reads.size:
             best = res.top_edges[reads, 0]
             score0 = res.top_scores[reads, 0]
@@ -430,7 +443,8 @@ def place_queries(db: PhyloKmerDB, query_path, workdir,
                     reg.batches[bid].add_extras_chunk(
                         slots[m].astype(np.int64), tb, to)
             for d in np.flatnonzero(st == _UNPLACED).tolist():
-                notplaced.write(pb.header(int(js[d])) + "\n")
+                notplaced.write((pb.header(int(js[d])) + "\n")
+                                .encode("utf-8"))
                 counts["unplaced"] += 1
             for d in np.flatnonzero(st == _IN_FLIGHT).tolist():
                 reg.pending.setdefault(int(fo[d]), []).append(
