@@ -1739,19 +1739,24 @@ class PlacementEngine:
         self._routed_windows = on
 
     def _route_windows(self, lrows: np.ndarray) -> list[np.ndarray]:
-        """Per-part [B, W_p] part-LOCAL window row matrices for the
+        """Per-part [B, W] part-LOCAL window row matrices for the
         routed gather: hit windows stable-left-packed per part; pad
         slots hold H_p (>= part height -> rewritten to sentinel on
-        device); global miss rows (== nl) are dropped entirely."""
+        device); global miss rows (== nl) are dropped entirely.  One
+        SHARED bucketed width across parts keeps the compile-variant
+        count on a single ladder (each part's batch-max window count is
+        close to the global max anyway -- binomial tails)."""
         heights = [p.shape[0] for p in self.light_parts]
         cuts = np.concatenate([[0], np.cumsum(heights)])
         nl = self._nl
         B = lrows.shape[0]
+        masks = [(lrows >= cuts[p]) & (lrows < cuts[p + 1]) &
+                 (lrows != nl) for p in range(len(heights))]
+        w_max = max((int(m.sum(axis=1).max()) if m.size else 0)
+                    for m in masks)
+        W = _bucket_size(max(w_max, 1))
         outs = []
-        for p, H in enumerate(heights):
-            m = (lrows >= cuts[p]) & (lrows < cuts[p + 1]) & (lrows != nl)
-            cnt = m.sum(axis=1)
-            W = _bucket_size(max(int(cnt.max()) if cnt.size else 0, 1))
+        for p, (H, m) in enumerate(zip(heights, masks)):
             out = np.full((B, W), H, np.int32)
             bb, qq = np.nonzero(m)
             if bb.size:

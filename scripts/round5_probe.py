@@ -221,15 +221,17 @@ def probe_c(db_path, B, tag):
     eng = PlacementEngine(db, table="postings")
     n_parts = len(eng.light_parts)
     print(f"  light parts: {n_parts}", flush=True)
+    if n_parts > 1:
+        eng.enable_routed_windows(False)
     dt0, te0 = _postings_rate(eng, mat, lens)
-    print(f"  two-stage (default):  {dt0 * 1e3:7.2f} ms  "
+    print(f"  two-stage:            {dt0 * 1e3:7.2f} ms  "
           f"{B / dt0 / 1e3:6.0f}k r/s", flush=True)
     if n_parts < 2:
         return
     eng.enable_routed_windows()
     dt1, te1 = _postings_rate(eng, mat, lens)
     eq = np.array_equal(te0, te1)
-    print(f"  routed windows:       {dt1 * 1e3:7.2f} ms  "
+    print(f"  routed (default):     {dt1 * 1e3:7.2f} ms  "
           f"{B / dt1 / 1e3:6.0f}k r/s  edges-eq={eq}", flush=True)
 
 

@@ -69,3 +69,42 @@ def test_native_speed_sanity():
     dt = time.time() - t
     assert dt < 15.0, f"native explorer too slow: {dt:.1f}s"
     assert c.size > 0
+
+
+def test_gather_ranges_basic():
+    from rappas_tpu.native import gather_ranges
+    buf = np.frombuffer(b"abcdefghij", np.uint8)
+    starts = np.array([0, 3, 9, 2], np.int64)
+    ends = np.array([2, 7, 10, 2], np.int64)   # incl. an empty range
+    blob, off = gather_ranges(buf, starts, ends)
+    assert blob.tobytes() == b"abdefgj"
+    assert off.tolist() == [0, 2, 6, 7, 7]
+    # empty input
+    blob, off = gather_ranges(buf, starts[:0], ends[:0])
+    assert blob.shape[0] == 0 and off.tolist() == [0]
+
+
+def test_format_tsv_rows_matches_python():
+    pytest.importorskip("ctypes")
+    try:
+        from rappas_tpu.native import format_tsv_rows
+    except Exception:
+        pytest.skip("toolchain missing")
+    headers = [b"q1 with desc", b"q2", b"name only"]
+    blob = np.frombuffer(b"".join(headers), np.uint8)
+    off = np.zeros(4, np.int64)
+    np.cumsum([len(h) for h in headers], out=off[1:])
+    best = np.array([2, 0, 1], np.int32)
+    scores = np.array([-1.5, -20.969999313354492, -0.25], np.float32)
+    lbls = [b"L0", b"", b"Lbl2"]
+    lbl_buf = b"".join(lbls)
+    lbl_off = np.zeros(4, np.int32)
+    np.cumsum([len(x) for x in lbls], out=lbl_off[1:])
+    out = format_tsv_rows(blob, off, best, scores, lbl_buf, lbl_off)
+    lines = out.decode().splitlines()
+    exp = []
+    for h, b, s in zip(["q1 with desc", "q2", "name only"],
+                       best.tolist(), scores.tolist()):
+        q = h.split(" ")[0]
+        exp.append(f"{q}\t\t\t\t\t{b}\t{lbls[b].decode()}\t{s}")
+    assert lines == exp
