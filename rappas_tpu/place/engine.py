@@ -71,11 +71,14 @@ def pack_wire(te: jax.Array, ts: jax.Array, lwr: jax.Array,
     """Byte-lean single-array D2H wire format (round 5): ONE int32
     [B, K + ceil(K/2) + 1] tensor per batch -- scores bit-cast f32,
     edge ids packed two-u16-per-word (sentinel 65535 = no edge), |L|.
-    LWR is dropped and recomputed on host from the scores (same f32
-    arithmetic as :func:`finalize`).  88 -> 48 B/read at K=7, and ONE
-    result fetch per batch instead of four: the tunneled dev backend
-    pays a fixed per-fetch cost, which had become the largest
-    remaining host<->device term of the CLI loop."""
+    LWR is dropped and recomputed on host from the exact scores with
+    the same FORMULA as :func:`finalize` (host np.exp2 may differ from
+    the device exp2 by 1 ulp, so emitted like_weight_ratio text can
+    differ in the last digit from a non-wire engine -- inside the
+    documented f32 parity tolerance; see PARITY.md).  88 -> 48 B/read
+    at K=7, and ONE result fetch per batch instead of four: the
+    tunneled dev backend pays a fixed per-fetch cost, which had become
+    the largest remaining host<->device term of the CLI loop."""
     B, K = te.shape
     edges = jnp.where(te < 0, 65535, te).astype(jnp.uint16)
     if K % 2:
@@ -90,8 +93,9 @@ def pack_wire(te: jax.Array, ts: jax.Array, lwr: jax.Array,
 
 def unpack_wire(words, K: int) -> BatchResult:
     """Host-side decode of :func:`pack_wire`; LWR recomputed with the
-    same f32 arithmetic :func:`finalize` uses (exp2 of the max-shifted
-    scores, normalized)."""
+    same f32 FORMULA :func:`finalize` uses (exp2 of the max-shifted
+    scores, normalized; host exp2 vs device exp2 can differ 1 ulp --
+    see :func:`pack_wire`)."""
     words = np.asarray(words)
     K2 = (K + 1) // 2
     ts = words[:, :K].copy().view(np.float32)
@@ -1476,13 +1480,14 @@ class PlacementEngine:
         p_read = np.where(hit, self._light_counts[
             np.minimum(rof, nl)], 0).sum(axis=1)
         p_max = int(p_read.max()) if p_read.size else 0
-        sort_keep = None
-        full_w = W * self.light_parts[0].shape[1] // 2
-        for cand in (8, 16, 32, 64, 96, 128, 192, 256, 384, 512, 768,
-                     1024):
-            if cand >= p_max and cand <= full_w - 64:
-                sort_keep = cand
-                break
+        P_half = self.light_parts[0].shape[1] // 2
+
+        def pick_sort_keep(full_w):
+            for cand in (8, 16, 32, 64, 96, 128, 192, 256, 384, 512,
+                         768, 1024):
+                if cand >= p_max and cand <= full_w - 64:
+                    return cand
+            return None
 
         if self._routed_windows and len(self.light_parts) > 1:
             # round-5 part-routed window gathers: each hit window is
@@ -1493,14 +1498,8 @@ class PlacementEngine:
             # docs/PERF.md round 4) disappears; the edge sort downstream
             # is order-agnostic so windows never return to read order.
             routed_np = self._route_windows(lrows)
-            full_w = sum(r.shape[1] for r in routed_np) * \
-                self.light_parts[0].shape[1] // 2
-            sort_keep = None
-            for cand in (8, 16, 32, 64, 96, 128, 192, 256, 384, 512,
-                         768, 1024):
-                if cand >= p_max and cand <= full_w - 64:
-                    sort_keep = cand
-                    break
+            sort_keep = pick_sort_keep(
+                sum(r.shape[1] for r in routed_np) * P_half)
             routed = tuple(self._put_batch(r) for r in routed_np)
             out = finalize_postings_routed(
                 self.light_parts, routed, dense_rows, dense_reads,
@@ -1509,6 +1508,7 @@ class PlacementEngine:
                 sort_keep=sort_keep)
             return self._emit_out(out)
 
+        sort_keep = pick_sort_keep(W * P_half)
         uniq_dev = None
         if self._light_slow or len(self.light_parts) > 1:
             uniq, inv = _fast_unique_inverse(lrows.ravel())
@@ -1615,6 +1615,10 @@ class PlacementEngine:
             # pipelining rides the two-stage path; routed windows
             # would bypass it
             self._routed_windows = False
+        else:
+            # restore the round-5 auto rule (routed on split tables)
+            self._routed_windows = (type(self) is PlacementEngine and
+                                    len(self.light_parts) > 1)
 
     def _pp_issue(self, prev: dict, nxt: dict | None) -> None:
         """Issue ``prev``'s device program; when ``nxt`` is given its
@@ -1976,11 +1980,9 @@ class PlacementEngine:
         return make_key_lookup(self.db.keys)
 
     @functools.cached_property
-    def _light_lookup(self):
-        return make_key_lookup(self._light_keys_np)
-
-    @functools.cached_property
     def _heavy_lookup(self):
+        # still used by _heavy_hits (sharded placements); the light
+        # pass was folded into _comb_lookup in round 5
         return make_key_lookup(self._heavy_keys_np)
 
     def _map_alt_rows(self, kidx: np.ndarray):

@@ -132,16 +132,7 @@ def _first_tokens(pb, idx):
     ``PlacementProcess.java:598-612``) of block records ``idx`` as a
     byte blob + offsets -- fully vectorized for native blocks."""
     from rappas_tpu.native import gather_ranges
-    idx = np.asarray(idx, np.int64)
-    if hasattr(pb, "hdr_buf"):
-        blob, off = gather_ranges(pb.hdr_buf, pb.hdr_off[idx],
-                                  pb.hdr_off[idx + 1])
-    else:
-        hs = [pb.header(int(i)).encode("utf-8") for i in idx]
-        blob = np.frombuffer(b"".join(hs), np.uint8)
-        off = np.zeros(len(hs) + 1, np.int64)
-        np.cumsum(np.fromiter(map(len, hs), np.int64, len(hs)),
-                  out=off[1:])
+    blob, off = _headers_blob([(pb, np.asarray(idx, np.int64))])
     sp = np.flatnonzero(blob == 0x20)
     if sp.size:
         k = np.searchsorted(sp, off[:-1])
@@ -308,17 +299,23 @@ def place_queries(db: PhyloKmerDB, query_path, workdir,
             best = res.top_edges[reads, 0]
             score0 = res.top_scores[reads, 0]
             if resolution is None:
-                # default DBs: one native call formats the whole batch
+                # default DBs: one native call formats the whole batch.
+                # Only the toolchain-dependent calls sit in the try --
+                # a real I/O error from tsv.write must propagate, not
+                # be mistaken for a missing compiler
                 from rappas_tpu.native import (format_tsv_rows,
                                                gather_ranges)
+                buf = None
                 try:
                     hb, ho = gather_ranges(hdr_blob, hdr_off[reads],
                                            hdr_off[reads + 1])
-                    tsv.write(format_tsv_rows(hb, ho, best, score0,
-                                              lbl_buf, lbl_off))
-                    return
+                    buf = format_tsv_rows(hb, ho, best, score0,
+                                          lbl_buf, lbl_off)
                 except Exception:
                     pass       # toolchain missing: python fallback
+                if buf is not None:
+                    tsv.write(buf)
+                    return
             lines = []
             for i, b, score in zip(reads.tolist(), best.tolist(),
                                    score0.tolist()):
@@ -362,14 +359,28 @@ def place_queries(db: PhyloKmerDB, query_path, workdir,
     import queue
     import threading
     blocks_q: "queue.Queue" = queue.Queue(maxsize=4)
+    stop = threading.Event()     # set on ANY exit so no thread leaks
 
     def _reader():
+        err = None
         try:
             for blk in ingest_blocks(query_path):
-                blocks_q.put(blk)
-            blocks_q.put(None)
+                while not stop.is_set():
+                    try:
+                        blocks_q.put(blk, timeout=0.25)
+                        break
+                    except queue.Full:
+                        continue
+                else:
+                    return
         except BaseException as e:   # propagate into the main thread
-            blocks_q.put(e)
+            err = e
+        while not stop.is_set():     # None = clean end of stream
+            try:
+                blocks_q.put(err, timeout=0.25)
+                return
+            except queue.Full:
+                continue
 
     fmt_q: "queue.Queue" = queue.Queue()
 
@@ -397,70 +408,77 @@ def place_queries(db: PhyloKmerDB, query_path, workdir,
                 raise blk
             yield blk
 
-    shard = config.read_shard
-    gidx = 0       # index over the whole file (round-robin host shard,
-    #                rappas_tpu.parallel.distributed.shard_reads)
-    order = 0      # arrival rank within this shard (output ordering)
-    for pb in iter_blocks():
-        # md5 keys come pre-computed per block (gap-stripped sequence,
-        # PlacementProcess.java:591-596 / Fasta.java:34-39); the
-        # digest -> first-order map lives in native code (_make_dedup)
-        if shard is None:
-            sel = np.arange(pb.n, dtype=np.int64)
-        else:
-            g = gidx + np.arange(pb.n, dtype=np.int64)
-            sel = np.flatnonzero(g % shard[1] == shard[0])
-            gidx += pb.n
-        counts["total"] += sel.shape[0]
-        orders_blk = order + np.arange(sel.shape[0], dtype=np.int64)
-        order += sel.shape[0]
-        first = dedup(pb.md5s[sel], orders_blk)
-        dup = np.flatnonzero(first >= 0)
-        if dup.size:
-            # duplicate occurrences: attach to the placed first,
-            # re-list unplaced per occurrence (the reference only
-            # dedups *placed* reads, PlacementProcess.java:591-629),
-            # queue while the first's batch is still in flight.
-            # Round 5: the common placed case is fully vectorized --
-            # sub-header tokens are extracted in one pass and attached
-            # per target batch as array chunks; python remains only
-            # for unplaced / in-flight firsts (rare).
-            js = sel[dup]
-            fo = first[dup]
-            cap = reg.status.shape[0]
-            st = np.where(fo < cap,
-                          reg.status[np.minimum(fo, cap - 1)],
-                          np.int8(_IN_FLIGHT))
-            pl = np.flatnonzero(st == _PLACED)
-            if pl.size:
-                toks, toff = _first_tokens(pb, js[pl])
-                bids = reg.bidx[fo[pl]]
-                slots = reg.slot[fo[pl]]
-                for bid in np.unique(bids).tolist():
-                    m = np.flatnonzero(bids == bid)
-                    from rappas_tpu.native import gather_ranges
-                    tb, to = gather_ranges(toks, toff[m], toff[m + 1])
-                    reg.batches[bid].add_extras_chunk(
-                        slots[m].astype(np.int64), tb, to)
-            for d in np.flatnonzero(st == _UNPLACED).tolist():
-                notplaced.write((pb.header(int(js[d])) + "\n")
-                                .encode("utf-8"))
-                counts["unplaced"] += 1
-            for d in np.flatnonzero(st == _IN_FLIGHT).tolist():
-                reg.pending.setdefault(int(fo[d]), []).append(
-                    pb.header(int(js[d])))
-            # _FILTERED: nsbound-filtered reads re-filter silently
-        fresh = np.flatnonzero(first < 0)
-        for b in batcher.add_block(pb, sel[fresh], orders_blk[fresh]):
+    try:
+        shard = config.read_shard
+        gidx = 0       # index over the whole file (round-robin host shard,
+        #                rappas_tpu.parallel.distributed.shard_reads)
+        order = 0      # arrival rank within this shard (output ordering)
+        for pb in iter_blocks():
+            # md5 keys come pre-computed per block (gap-stripped sequence,
+            # PlacementProcess.java:591-596 / Fasta.java:34-39); the
+            # digest -> first-order map lives in native code (_make_dedup)
+            if shard is None:
+                sel = np.arange(pb.n, dtype=np.int64)
+            else:
+                g = gidx + np.arange(pb.n, dtype=np.int64)
+                sel = np.flatnonzero(g % shard[1] == shard[0])
+                gidx += pb.n
+            counts["total"] += sel.shape[0]
+            orders_blk = order + np.arange(sel.shape[0], dtype=np.int64)
+            order += sel.shape[0]
+            first = dedup(pb.md5s[sel], orders_blk)
+            dup = np.flatnonzero(first >= 0)
+            if dup.size:
+                # duplicate occurrences: attach to the placed first,
+                # re-list unplaced per occurrence (the reference only
+                # dedups *placed* reads, PlacementProcess.java:591-629),
+                # queue while the first's batch is still in flight.
+                # Round 5: the common placed case is fully vectorized --
+                # sub-header tokens are extracted in one pass and attached
+                # per target batch as array chunks; python remains only
+                # for unplaced / in-flight firsts (rare).
+                js = sel[dup]
+                fo = first[dup]
+                cap = reg.status.shape[0]
+                st = np.where(fo < cap,
+                              reg.status[np.minimum(fo, cap - 1)],
+                              np.int8(_IN_FLIGHT))
+                pl = np.flatnonzero(st == _PLACED)
+                if pl.size:
+                    toks, toff = _first_tokens(pb, js[pl])
+                    bids = reg.bidx[fo[pl]]
+                    slots = reg.slot[fo[pl]]
+                    for bid in np.unique(bids).tolist():
+                        m = np.flatnonzero(bids == bid)
+                        from rappas_tpu.native import gather_ranges
+                        tb, to = gather_ranges(toks, toff[m], toff[m + 1])
+                        reg.batches[bid].add_extras_chunk(
+                            slots[m].astype(np.int64), tb, to)
+                for d in np.flatnonzero(st == _UNPLACED).tolist():
+                    notplaced.write((pb.header(int(js[d])) + "\n")
+                                    .encode("utf-8"))
+                    counts["unplaced"] += 1
+                for d in np.flatnonzero(st == _IN_FLIGHT).tolist():
+                    reg.pending.setdefault(int(fo[d]), []).append(
+                        pb.header(int(js[d])))
+                # _FILTERED: nsbound-filtered reads re-filter silently
+            fresh = np.flatnonzero(first < 0)
+            for b in batcher.add_block(pb, sel[fresh], orders_blk[fresh]):
+                submit(b)
+        for b in batcher.flush():
             submit(b)
-    for b in batcher.flush():
-        submit(b)
-    for meta, f in in_flight:
-        handle_batch(meta, f.result())
-    prep.shutdown()
-    reader.join()
-    fmt_q.put(None)
-    formatter.join()
+        for meta, f in in_flight:
+            handle_batch(meta, f.result())
+    finally:
+        # release the pipeline threads on EVERY exit path: an
+        # exception mid-stream must not leak a reader blocked on
+        # a full queue, a formatter blocked on get(), or the prep
+        # executor (they pin parsed blocks / batches otherwise)
+        stop.set()
+        prep.shutdown(wait=False)
+        fmt_q.put(None)
+        reader.join(timeout=10)
+        formatter.join(timeout=60)
 
     if tsv:
         tsv.close()
