@@ -250,16 +250,21 @@ class JplaceWriter:
         pos_parts, blob_parts, start_parts, len_parts = [], [], [], []
         base = 0
         if b.extra:
-            for i, lst in b.extra.items():
-                bs = [s.encode("utf-8") for s in lst]
-                ls = np.fromiter(map(len, bs), np.int64, len(bs))
-                pos_parts.append(np.full(
-                    len(bs), np.searchsorted(b.reads, i), np.int64))
-                blob_parts.append(np.frombuffer(b"".join(bs), np.uint8))
-                start_parts.append(base + np.concatenate(
-                    [[0], np.cumsum(ls)[:-1]]).astype(np.int64))
-                len_parts.append(ls)
-                base += int(ls.sum())
+            # one array pass over ALL dict entries (the per-entry numpy
+            # calls were ~2 s/M reads at realistic in-flight dup rates)
+            slots = np.fromiter(
+                (i for i, lst in b.extra.items() for _ in lst),
+                np.int64, sum(len(v) for v in b.extra.values()))
+            bs = [s.encode("utf-8") for lst in b.extra.values()
+                  for s in lst]
+            ls = np.fromiter(map(len, bs), np.int64, len(bs))
+            off = np.zeros(ls.shape[0] + 1, np.int64)
+            np.cumsum(ls, out=off[1:])
+            pos_parts.append(np.searchsorted(b.reads, slots))
+            blob_parts.append(np.frombuffer(b"".join(bs), np.uint8))
+            start_parts.append(base + off[:-1])
+            len_parts.append(ls)
+            base += int(off[-1])
         for slots, blob, off in b.extra_chunks:
             pos_parts.append(np.searchsorted(b.reads, slots))
             blob_parts.append(blob)

@@ -63,3 +63,23 @@ def test_huge_header_and_unicode_safe(db, tmp_path):
     j = place(db, tmp_path, f">{h}\nACGTACGTACGTACG\n")
     if j["placements"]:
         assert j["placements"][0]["nm"][0][0] == h
+
+
+def test_pipeline_thread_cleanup_on_error(tiny_db, tmp_path):
+    """An exception mid-placement must not leak the pipeline threads
+    (reader / formatter / prep executor) -- round-5 try/finally."""
+    import threading
+    import time as _time
+
+    from rappas_tpu.place.pipeline import place_queries
+
+    bad = tmp_path / "bad.fastq"
+    bad.write_text("@r1\nACGT\nBAD-SEPARATOR\n!!!!\n")
+    n0 = threading.active_count()
+    with pytest.raises(ValueError):
+        place_queries(tiny_db, bad, tmp_path)
+    deadline = _time.time() + 5
+    while threading.active_count() > n0 and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= n0, \
+        "pipeline threads leaked after an ingest error"
