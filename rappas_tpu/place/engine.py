@@ -1388,8 +1388,7 @@ class PlacementEngine:
         B = codes.shape[0]
         E = self.D.shape[1]
         nl = self._nl
-        kidx = self._host_kmer_indices(codes, lengths)
-        rof = self._host_rows(kidx)
+        rof = self._rows_from_codes(codes, lengths)
 
         # ---- dense sources: heavy hits + ambiguity windows ---------- #
         hb, hq = np.nonzero(rof > nl)
@@ -1800,6 +1799,46 @@ class PlacementEngine:
     @functools.cached_property
     def _comb_lookup(self):
         return make_key_lookup(self._comb_lookup_arrays[0])
+
+    @functools.cached_property
+    def _native_probe(self):
+        """Fused native rolling-hash + key-probe callable
+        ``(codes, lengths) -> rof`` for the big-key-space fallback, or
+        None (tiny key sets / toolchain missing) -- round 5, replaces
+        the numpy Horner + HostKeyIndex passes on the protein path."""
+        try:
+            from rappas_tpu.native import probe_rows
+        except Exception:
+            return None
+        hki = self._comb_lookup
+        if not isinstance(hki, HostKeyIndex):
+            return None     # small key set: numpy path is already fast
+        keys, vals = self._comb_lookup_arrays
+        k, S, nl = self.k, self.alphabet.n_states, self._nl
+        lo, shift = hki.lo, hki.shift
+
+        def run(codes, lengths):
+            return probe_rows(codes, lengths, k, S, keys, vals, lo,
+                              shift, nl)
+        try:        # force the g++ build now; fall back on failure
+            run(np.zeros((1, k), np.int8), np.full(1, k, np.int32))
+        except Exception:
+            return None
+        return run
+
+    def _rows_from_codes(self, codes: np.ndarray,
+                         lengths: np.ndarray) -> np.ndarray:
+        """Encoded row per window straight from state codes (the
+        postings scoring path): direct table, fused native probe, or
+        the numpy two-pass fallback."""
+        if self._rof_np is not None:
+            kidx = self._host_kmer_indices(codes, lengths)
+            space = self.alphabet.n_states ** self.k
+            return self._rof_np[np.where(kidx >= 0, kidx, space)]
+        probe = self._native_probe
+        if probe is not None:
+            return probe(codes, lengths)
+        return self._host_rows(self._host_kmer_indices(codes, lengths))
 
     # -------------------------------------------------------------- #
     def _expand_ambiguities(self, codes: np.ndarray, matrix: np.ndarray,

@@ -108,3 +108,51 @@ def test_format_tsv_rows_matches_python():
         q = h.split(" ")[0]
         exp.append(f"{q}\t\t\t\t\t{b}\t{lbls[b].decode()}\t{s}")
     assert lines == exp
+
+
+def test_keyprobe_matches_numpy_path():
+    """Fused native rolling-hash + key probe must equal the numpy
+    Horner + combined-lookup pass, including ambiguity codes, mid-read
+    pads and past-length windows (protein k=8 regime, forced big-key
+    fallback)."""
+    from rappas_tpu.alphabet import AA
+    from rappas_tpu.db import PhyloKmerDB, build_csr
+    from rappas_tpu.place.engine import PlacementEngine
+    from rappas_tpu.tree import parse_newick
+
+    rng = np.random.default_rng(3)
+    n_edges = 24
+    labels = ",".join(f"L{i}:0.1" for i in range(n_edges - 1))
+    tree = parse_newick(f"({labels})root;")
+    tree.reset_jplace_edge_ids()
+    thr = PhyloKmerDB.threshold(8, 1.5, 20)
+    # enough keys that make_key_lookup builds a HostKeyIndex (>= 2^16)
+    keys = np.unique(rng.integers(0, 20 ** 8, 90_000, np.int64))
+    codes = np.repeat(keys, 2)
+    edges = rng.integers(1, n_edges, codes.shape[0]).astype(np.int32)
+    scores = (thr + 0.01 + rng.random(codes.shape[0]) * 2.0
+              ).astype(np.float32)
+    keys, offsets, e, deltas = build_csr(codes, edges, scores, thr)
+    db = PhyloKmerDB(k=8, omega=1.5, alphabet=AA, thr_log10=thr,
+                     tree=tree, keys=keys, offsets=offsets, edges=e,
+                     deltas=deltas)
+    eng = PlacementEngine(db, table="postings")
+    assert eng._native_probe is not None
+    B, L = 64, 40
+    letters = np.frombuffer(b"ARNDCQEGHILKMFPSTWYV", np.uint8)
+    mat = letters[rng.integers(0, 20, (B, L))]
+    # sprinkle ambiguity (B/X/Z) and force DB keys into some reads so
+    # hits exist
+    for i in range(0, B, 7):
+        mat[i, rng.integers(0, L)] = ord("X")
+    for i in range(0, B, 5):
+        s = db.alphabet.kmer_to_string(int(db.keys[i]), 8)
+        mat[i, 3:3 + 8] = np.frombuffer(s.encode(), np.uint8)
+    lens = np.full(B, L, np.int32)
+    lens[::9] = rng.integers(8, L, (B + 8) // 9)   # short reads
+    codes_m = eng.encode_batch(mat)
+    got = eng._native_probe(codes_m, lens)
+    want = eng._host_rows(eng._host_kmer_indices(codes_m, lens))
+    assert np.array_equal(got, want)
+    # some real hits and some misses were actually exercised
+    assert (got != eng._nl).any() and (got == eng._nl).any()
