@@ -19,8 +19,9 @@ regressions in any regime are driver-visible:
   (k=12, ~4000 taxa, postings tables)
 * ``k12_multigb_device_reads_per_s``  -- config 3 single-host multi-GB
   light table (N-part split)
-* ``protein_device_reads_per_s``  -- config 4 regime (amino k=8,
-  host-side int64 key lookup)
+* ``protein_device_reads_per_s`` / ``protein_cli_e2e_reads_per_s`` --
+  config 4 regime (amino k=8; the CLI row runs 300k reads through the
+  full host loop incl. the native fused key probe)
 
 All artifacts are cached under ``/tmp/rappas_bench_db`` (cold build ~4
 min, warm runs load from disk).  Prints ONE JSON line:
@@ -458,6 +459,27 @@ def bench_protein(payload):
     payload["protein_device_reads_per_s"] = round(rate)
     payload["protein_table"] = (f"{eng.table}, {db.n_kmers} kmers, "
                                 "100aa reads")
+
+    # protein CLI end-to-end (round 5: the native fused key probe made
+    # this a headline-worthy number; 300k reads keep the row under ~10s)
+    from rappas_tpu.place.pipeline import PlacementConfig, place_queries
+    reads_p = CACHE / "protein_reads_300k.fasta"
+    if not reads_p.exists():
+        CACHE.mkdir(parents=True, exist_ok=True)
+        with open(reads_p, "w") as f:
+            for lo in range(0, 300_000, 10_000):
+                m = letters[rngr.integers(0, 20, (10_000, 100))]
+                f.write("\n".join(
+                    f">p{lo + i}\n{m[i].tobytes().decode()}"
+                    for i in range(10_000)) + "\n")
+    wd = CACHE / "protein_wd"
+    wd.mkdir(exist_ok=True)
+    cfg = PlacementConfig(batch_size=16384)
+    place_queries(db, reads_p, wd, cfg)       # warm (jit variants)
+    t0 = time.time()
+    place_queries(db, reads_p, wd, cfg)
+    payload["protein_cli_e2e_reads_per_s"] = round(
+        300_000 / (time.time() - t0))
 
 
 # ------------------------------------------------------------------ #
