@@ -83,3 +83,31 @@ def test_pipeline_thread_cleanup_on_error(tiny_db, tmp_path):
         _time.sleep(0.05)
     assert threading.active_count() <= n0, \
         "pipeline threads leaked after an ingest error"
+
+
+def test_fastq_pipeline_matches_fasta(tiny_db, tmp_path, fixtures_dir):
+    """A FASTQ stream rides the PyBlock path (python header blobs,
+    python md5) while plain FASTA rides the native block path -- both
+    must produce identical placements, nm lists (incl. duplicates) and
+    TSV reports."""
+    from rappas_tpu.seqio import read_fasta
+
+    recs = list(read_fasta(fixtures_dir / "tiny_reads.fasta"))
+    fq = tmp_path / "reads.fastq"
+    fa = tmp_path / "reads.fasta"
+    with open(fq, "w") as f, open(fa, "w") as g:
+        for h, s in recs + recs[:3]:        # tail duplicates
+            f.write(f"@{h}\n{s}\n+\n{'I' * len(s)}\n")
+            g.write(f">{h}\n{s}\n")
+    wd_q = tmp_path / "wd_q"
+    wd_a = tmp_path / "wd_a"
+    out_q = place_queries(tiny_db, fq, wd_q,
+                          PlacementConfig(batch_size=16))
+    out_a = place_queries(tiny_db, fa, wd_a,
+                          PlacementConfig(batch_size=16))
+    jq = json.loads(out_q.read_text())
+    ja = json.loads(out_a.read_text())
+    assert jq["placements"] == ja["placements"]
+    tsv_q = (wd_q / "logs" / "placements_reads.fastq.tsv").read_bytes()
+    tsv_a = (wd_a / "logs" / "placements_reads.fasta.tsv").read_bytes()
+    assert tsv_q == tsv_a
