@@ -1203,9 +1203,14 @@ class PlacementEngine:
         #: on host (numpy int64) so the device never needs x64
         self._host_lookup = False
         #: postings software pipeline (set by the postings init branch;
-        #: ShardedEngine's postings path has its own machinery)
+        #: ShardedEngine's postings path has its own machinery).  The
+        #: lock serializes tail hand-off between the pipeline's issue
+        #: path (which may run on a submission thread) and result-side
+        #: flushes (round-5 review fix)
         self._pp_enabled = False
         self._pp_tail = None
+        import threading as _threading
+        self._pp_lock = _threading.Lock()
         #: part-routed window gathers for split light tables (round 5);
         #: flipped by measurement via enable_routed_windows / auto rule
         self._routed_windows = False
@@ -1526,7 +1531,12 @@ class PlacementEngine:
                 # are independent, so halve the batch instead -- each
                 # half's unique set shrinks toward the two-stage budget
                 # (recursion bottoms out at MIN_SPLIT_B and takes the
-                # slow fallback only then)
+                # slow fallback only then).  NOTE: the dense sources
+                # assembled above are discarded and recomputed per half
+                # -- acceptable because since round 5 this path is only
+                # reachable with routed windows explicitly disabled
+                # (multi-part tables default to the routed gather,
+                # which has no unique budget at all)
                 half = B // 2
                 p1 = self._score_postings(codes[:half], matrix[:half],
                                           lengths[:half])
@@ -1587,9 +1597,10 @@ class PlacementEngine:
                                lowrank=lowrank, sort_keep=sort_keep),
                 "compact": None, "out": None,
             }
-            if self._pp_tail is not None:
-                self._pp_issue(self._pp_tail, entry)
-            self._pp_tail = entry
+            with self._pp_lock:
+                prev, self._pp_tail = self._pp_tail, entry
+                if prev is not None:
+                    self._pp_issue(prev, entry)
             return PipelinedBatch(self, entry)
 
         out = finalize_postings_v2(
@@ -1641,7 +1652,9 @@ class PlacementEngine:
             nxt["compact"] = nxt_compact
 
     def _pp_flush(self, entry: dict) -> None:
-        if entry is self._pp_tail:
+        with self._pp_lock:
+            if entry is not self._pp_tail:
+                return              # already issued by the next batch
             self._pp_tail = None
             self._pp_issue(entry, None)
 
@@ -1689,23 +1702,29 @@ class PlacementEngine:
             for lo, hi in zip(cuts[:-1], cuts[1:]))
         self._direct_cuts = cuts
 
-    def _route_direct(self, rows: np.ndarray) -> list[np.ndarray]:
-        """Per-part [B, W] part-LOCAL window matrices for the split
-        direct table: hit windows stable-left-packed per part, pads ->
-        the part's trailing zero row, miss windows (global miss row)
-        dropped.  One SHARED bucketed width per batch keeps the compile
-        variant count on a single ladder."""
-        cuts = self._direct_cuts
+    @staticmethod
+    def _route_rows(rows: np.ndarray, cuts: np.ndarray,
+                    drop=None) -> list[np.ndarray]:
+        """Shared per-part router (round-5 review consolidation): rows
+        stable-left-packed into their owning part's [B, W] part-LOCAL
+        matrix.  One SHARED bucketed width per batch keeps the compile
+        variant count on a single ladder; pad slots hold the part
+        height (the device rewrites them); rows equal to ``drop`` are
+        excluded entirely."""
         B = rows.shape[0]
         n = len(cuts) - 1
-        masks = [(rows >= cuts[p]) & (rows < cuts[p + 1])
-                 for p in range(n)]
+        masks = []
+        for p in range(n):
+            m = (rows >= cuts[p]) & (rows < cuts[p + 1])
+            if drop is not None:
+                m &= rows != drop
+            masks.append(m)
         w_max = max((int(m.sum(axis=1).max()) if m.size else 0)
                     for m in masks)
         W = _bucket_size(max(w_max, 1))
         outs = []
         for p, m in enumerate(masks):
-            H = int(cuts[p + 1] - cuts[p])    # local zero row index
+            H = int(cuts[p + 1] - cuts[p])
             out = np.full((B, W), H, np.int32)
             bb, qq = np.nonzero(m)
             if bb.size:
@@ -1713,6 +1732,11 @@ class PlacementEngine:
                 out[bb, pos] = rows[bb, qq] - cuts[p]
             outs.append(out)
         return outs
+
+    def _route_direct(self, rows: np.ndarray) -> list[np.ndarray]:
+        """Split direct table: pads -> each part's trailing zero row;
+        the global miss row lies past the last cut and drops out."""
+        return self._route_rows(rows, self._direct_cuts)
 
     def _score_direct_split(self, codes: np.ndarray, lengths: np.ndarray,
                             amb) -> "PendingBatch":
@@ -1742,31 +1766,11 @@ class PlacementEngine:
         self._routed_windows = on
 
     def _route_windows(self, lrows: np.ndarray) -> list[np.ndarray]:
-        """Per-part [B, W] part-LOCAL window row matrices for the
-        routed gather: hit windows stable-left-packed per part; pad
-        slots hold H_p (>= part height -> rewritten to sentinel on
-        device); global miss rows (== nl) are dropped entirely.  One
-        SHARED bucketed width across parts keeps the compile-variant
-        count on a single ladder (each part's batch-max window count is
-        close to the global max anyway -- binomial tails)."""
+        """Split light table: pads -> H_p (rewritten to the sentinel on
+        device); global miss rows (== nl) are dropped entirely."""
         heights = [p.shape[0] for p in self.light_parts]
         cuts = np.concatenate([[0], np.cumsum(heights)])
-        nl = self._nl
-        B = lrows.shape[0]
-        masks = [(lrows >= cuts[p]) & (lrows < cuts[p + 1]) &
-                 (lrows != nl) for p in range(len(heights))]
-        w_max = max((int(m.sum(axis=1).max()) if m.size else 0)
-                    for m in masks)
-        W = _bucket_size(max(w_max, 1))
-        outs = []
-        for p, (H, m) in enumerate(zip(heights, masks)):
-            out = np.full((B, W), H, np.int32)
-            bb, qq = np.nonzero(m)
-            if bb.size:
-                pos = (np.cumsum(m, axis=1) - 1)[bb, qq]
-                out[bb, pos] = lrows[bb, qq] - cuts[p]
-            outs.append(out)
-        return outs
+        return self._route_rows(lrows, cuts, drop=self._nl)
 
     def _host_rows(self, kidx: np.ndarray) -> np.ndarray:
         """Encoded row per window: ``r < nl`` light row, ``nl`` miss,

@@ -52,12 +52,15 @@ def read_fastq(path) -> Iterator[tuple[str, str]]:
             h = f.readline()
             if not h:
                 return
-            h = h.rstrip("\n")
+            # strip CRLF like the FASTA reader: a '\r' left on the
+            # sequence would corrupt the md5 dedup key and invalidate
+            # the read's last k-mer window
+            h = h.rstrip("\n").rstrip("\r")
             if not h:
                 continue
             if not h.startswith("@"):
                 raise ValueError(f"malformed FASTQ header: {h!r}")
-            seq = f.readline().rstrip("\n")
+            seq = f.readline().rstrip("\n").rstrip("\r")
             plus = f.readline()
             f.readline()  # qualities
             if not plus.startswith("+"):

@@ -143,3 +143,19 @@ def test_jplace_lines_native_matches_python(tmp_path):
     out = tmp_path / "x.jplace"
     build_writer(True).write(out)
     assert json.load(open(out)) == d_nat
+
+
+def test_fastq_crlf_line_endings(tmp_path):
+    """CRLF FASTQ must parse identically to LF (a stray '\\r' on the
+    sequence would corrupt the md5 dedup key and kill the read's last
+    k-mer window -- round-5 review fix)."""
+    from rappas_tpu.seqio import read_fastq
+
+    recs = [("r1 desc", "ACGTACGT"), ("r2", "GGGGCCCC")]
+    lf = tmp_path / "a.fastq"
+    crlf = tmp_path / "b.fastq"
+    lf.write_text("".join(f"@{h}\n{s}\n+\n{'I' * len(s)}\n"
+                          for h, s in recs))
+    crlf.write_bytes("".join(f"@{h}\r\n{s}\r\n+\r\n{'I' * len(s)}\r\n"
+                             for h, s in recs).encode())
+    assert list(read_fastq(lf)) == list(read_fastq(crlf)) == recs
