@@ -359,6 +359,22 @@ def bench_cli_e2e(payload):
                                "2-core dev host")
 
 
+def _oracle_spot_check(eng, db, mat, lens, n=3):
+    """Per-row correctness anchor: the timed engine's results for a few
+    reads must agree with the serial reference-semantics oracle
+    (candidate count exact, best score within the f32 tolerance)."""
+    from rappas_tpu.place import oracle
+    res = eng.score(mat.copy(), lens.copy())
+    for i in range(n):
+        seq = mat[i].tobytes().decode()
+        rows_o, n_o = oracle.place_read(db, seq)
+        assert n_o == int(res.n_matched[i]), \
+            f"read {i}: |L| {n_o} vs {int(res.n_matched[i])}"
+        if n_o:
+            assert abs(float(res.top_scores[i, 0]) -
+                       float(rows_o[0][1])) < 2e-4, f"read {i}"
+
+
 def bench_k10(payload):
     """Config 2 regime: k=10 DNA on the real artifact (AR reused)."""
     from rappas_tpu.place.engine import PlacementEngine
@@ -372,6 +388,7 @@ def bench_k10(payload):
     payload["k10_device_reads_per_s"] = round(rate)
     payload["k10_table"] = (f"{eng.table}, {db.n_kmers} kmers, "
                             f"{db.nnz} postings")
+    _oracle_spot_check(eng, db, mat, lens)
 
 
 def bench_k12_postings(payload):
@@ -394,6 +411,7 @@ def bench_k12_postings(payload):
     payload["k12_postings_device_reads_per_s"] = round(rate)
     payload["k12_postings_db"] = (f"{db.n_kmers} kmers, {db.nnz} "
                                   f"postings, E={db.n_edge_slots}")
+    _oracle_spot_check(eng, db, mat, lens)
 
 
 def bench_k12_multigb(payload):
