@@ -111,3 +111,38 @@ def test_fastq_pipeline_matches_fasta(tiny_db, tmp_path, fixtures_dir):
     tsv_q = (wd_q / "logs" / "placements_reads.fastq.tsv").read_bytes()
     tsv_a = (wd_a / "logs" / "placements_reads.fasta.tsv").read_bytes()
     assert tsv_q == tsv_a
+
+
+def test_nsbound_filters_reads_and_dups_silently(tiny_db, tmp_path,
+                                                 fixtures_dir):
+    """--nsbound: reads whose best score falls below the bound are
+    dropped from jplace WITHOUT joining the notplaced list, and their
+    duplicates re-filter silently (the _FILTERED order state)."""
+    from rappas_tpu.place.engine import PlacementEngine
+    from rappas_tpu.seqio import read_fasta
+
+    seqs = dict(read_fasta(fixtures_dir / "tiny.fasta"))
+    vals = list(seqs.values())
+    r0, r1 = vals[0][:90], vals[1][:30]
+    eng = PlacementEngine(tiny_db)
+    mat = np.full((2, 90), 0xFF, np.uint8)
+    mat[0, :len(r0)] = np.frombuffer(r0.encode(), np.uint8)
+    mat[1, :len(r1)] = np.frombuffer(r1.encode(), np.uint8)
+    res = eng.score(mat, np.array([len(r0), len(r1)], np.int32))
+    s0, s1 = (float(res.top_scores[i, 0]) for i in range(2))
+    assert s0 != s1
+    # filter whichever read scores lower; the other must survive
+    good, weak = (r0, r1) if s0 > s1 else (r1, r0)
+    bound = (s0 + s1) / 2
+
+    qp = tmp_path / "q.fasta"
+    qp.write_text(f">good one\n{good}\n>weak one\n{weak}\n"
+                  f">weakdup tail\n{weak}\n")
+    out = place_queries(tiny_db, qp, tmp_path,
+                        PlacementConfig(batch_size=4, ns_bound=bound))
+    j = json.loads(out.read_text())
+    names = [n[0] for p in j["placements"] for n in p["nm"]]
+    assert "good one" in names
+    assert all("weak" not in n for n in names)
+    np_file = tmp_path / "logs" / "notplaced_q.fasta.tsv"
+    assert "weak" not in np_file.read_text()   # filtered, NOT unplaced
